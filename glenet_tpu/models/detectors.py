@@ -1,0 +1,341 @@
+"""Detector composition: config-driven model build, loss, post-processing.
+
+The reference composes detectors from an 8-slot module topology via a
+mutable batch_dict (pcdet/models/detectors/detector3d_template.py:24-51).
+Here a detector is:
+  - a flax module (`DetectorNet`) holding the neural slots, whose forward
+    takes fixed-shape batch arrays and returns head outputs;
+  - a `Detector` wrapper owning static state (anchor set, box coder,
+    configs) and exposing pure functions: init, loss_fn (target assignment
+    + all loss terms), predict (decode + NMS / variance-voting NMS).
+
+Voxelization runs *inside* the forward (fused on device) — the host only
+ships padded raw points.  Supported dense heads: AnchorHeadSingle,
+AnchorHeadKLLabel, AnchorHeadKLLabelIoU.  The sparse-conv backbone slot
+(SECOND/VoxelRCNN) plugs into `backbone_3d` (see spconv_backbone.py).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import nms as nms_ops
+from ..ops import voxelize as vox_ops
+from ..utils import box_coder as box_coder_lib
+from ..utils import common
+from . import anchor_heads, anchors, target_assigner
+from .bev_backbone import SSFA, BaseBEVBackbone
+from .map_to_bev import HeightCompression, PointPillarScatter
+from .vfe import MeanVFE, PillarVFE
+
+
+class DetectorNet(nn.Module):
+    """Neural network slots of a dense-path detector (pillars / voxels)."""
+    model_cfg: Any           # Cfg (hashable-by-id static field)
+    data_cfg: Any
+    grid_size: tuple
+    voxel_size: tuple
+    pc_range: tuple
+    max_voxels: int
+    max_points_per_voxel: int
+    num_class: int
+    num_anchors_per_location: int
+    code_size: int
+    axis_name: Optional[str] = None
+
+    def setup(self):
+        # linen deep-converts dict fields to FrozenDict; restore Cfg access
+        from flax.core import unfreeze
+        from ..config import Cfg
+        mcfg = Cfg(unfreeze(self.model_cfg))
+        vfe_cfg = mcfg.VFE
+        if vfe_cfg.NAME == 'PillarVFE':
+            self.vfe = PillarVFE(
+                num_filters=tuple(vfe_cfg.NUM_FILTERS),
+                voxel_size=self.voxel_size,
+                point_cloud_range=self.pc_range,
+                use_absolute_xyz=vfe_cfg.get('USE_ABSLOTE_XYZ', True),
+                with_distance=vfe_cfg.get('WITH_DISTANCE', False),
+                use_norm=vfe_cfg.get('USE_NORM', True),
+                axis_name=self.axis_name)
+        elif vfe_cfg.NAME == 'MeanVFE':
+            self.vfe = MeanVFE()
+        else:
+            raise NotImplementedError(vfe_cfg.NAME)
+
+        self.backbone_3d = None
+        bb3d_cfg = mcfg.get('BACKBONE_3D', None)
+        if bb3d_cfg is not None:
+            from .spconv_backbone import build_backbone_3d
+            self.backbone_3d = build_backbone_3d(
+                bb3d_cfg, grid_size=self.grid_size,
+                max_voxels=self.max_voxels, axis_name=self.axis_name)
+
+        m2b = mcfg.MAP_TO_BEV
+        if m2b.NAME == 'PointPillarScatter':
+            self.map_to_bev = PointPillarScatter(grid_size=self.grid_size)
+        elif m2b.NAME == 'HeightCompression':
+            # grid for the compressed map is provided by the 3D backbone
+            self.map_to_bev = None
+        else:
+            raise NotImplementedError(m2b.NAME)
+
+        bb_cfg = mcfg.BACKBONE_2D
+        if bb_cfg.NAME == 'BaseBEVBackbone':
+            self.backbone_2d = BaseBEVBackbone(
+                layer_nums=tuple(bb_cfg.LAYER_NUMS),
+                layer_strides=tuple(bb_cfg.LAYER_STRIDES),
+                num_filters=tuple(bb_cfg.NUM_FILTERS),
+                upsample_strides=tuple(bb_cfg.get('UPSAMPLE_STRIDES', ())),
+                num_upsample_filters=tuple(bb_cfg.get('NUM_UPSAMPLE_FILTERS', ())),
+                axis_name=self.axis_name)
+        elif bb_cfg.NAME == 'SSFA':
+            self.backbone_2d = SSFA(axis_name=self.axis_name)
+        else:
+            raise NotImplementedError(bb_cfg.NAME)
+
+        head_cfg = mcfg.DENSE_HEAD
+        num_dir_bins = (head_cfg.get('NUM_DIR_BINS', 2)
+                        if head_cfg.get('USE_DIRECTION_CLASSIFIER', False) else 0)
+        common_kwargs = dict(
+            num_class=self.num_class,
+            num_anchors_per_location=self.num_anchors_per_location,
+            code_size=self.code_size,
+            num_dir_bins=num_dir_bins)
+        if head_cfg.NAME == 'AnchorHeadSingle':
+            self.dense_head = anchor_heads.AnchorHeadSingle(**common_kwargs)
+        elif head_cfg.NAME == 'AnchorHeadKLLabel':
+            self.dense_head = anchor_heads.AnchorHeadKLLabel(**common_kwargs)
+        elif head_cfg.NAME in ('AnchorHeadKLLabelIoU', 'AnchorHeadKLLabelIoUGuide'):
+            self.dense_head = anchor_heads.AnchorHeadKLLabel(
+                with_iou_branch=True, **common_kwargs)
+        else:
+            raise NotImplementedError(head_cfg.NAME)
+
+    def __call__(self, points, points_mask, train: bool = True):
+        """points: (B, P, C), points_mask: (B, P) -> head output dict."""
+        voxelize_fn = functools.partial(
+            vox_ops.voxelize,
+            voxel_size=tuple(self.voxel_size), pc_range=tuple(self.pc_range),
+            grid_size=tuple(self.grid_size),
+            max_voxels=self.max_voxels,
+            max_points_per_voxel=self.max_points_per_voxel)
+        vox = jax.vmap(voxelize_fn)(points, points_mask)
+
+        b, v = vox['voxels'].shape[:2]
+        if isinstance(self.vfe, PillarVFE):
+            # flatten batch into the voxel axis so BN stats span the batch
+            feats = self.vfe(
+                vox['voxels'].reshape(b * v, *vox['voxels'].shape[2:]),
+                vox['voxel_num_points'].reshape(b * v),
+                vox['voxel_coords'].reshape(b * v, 3),
+                train=train)
+            feats = feats.reshape(b, v, -1)
+        else:
+            feats = jax.vmap(lambda vv, nn_: self.vfe(vv, nn_, train=train))(
+                vox['voxels'], vox['voxel_num_points'])
+
+        if self.backbone_3d is not None:
+            sp_out = self.backbone_3d(
+                feats, vox['voxel_coords'], vox['voxel_mask'], train=train)
+            spatial = sp_out['bev_features']
+        else:
+            spatial = jax.vmap(
+                lambda f, c, m: self.map_to_bev(f, c, m, train=train))(
+                feats, vox['voxel_coords'], vox['voxel_mask'])
+
+        spatial_2d = self.backbone_2d(spatial, train=train)
+        return self.dense_head(spatial_2d, train=train)
+
+
+class Detector:
+    """Static-state wrapper: build from reference-style config, expose pure
+    init / loss / predict functions."""
+
+    def __init__(self, model_cfg, data_cfg, num_class, axis_name=None):
+        self.model_cfg = model_cfg
+        self.data_cfg = data_cfg
+        self.num_class = num_class
+        self.pc_range = tuple(data_cfg.POINT_CLOUD_RANGE)
+
+        proc_cfgs = {p.NAME: p for p in data_cfg.DATA_PROCESSOR}
+        vox_cfg = proc_cfgs['transform_points_to_voxels']
+        self.voxel_size = tuple(vox_cfg.VOXEL_SIZE)
+        self.grid_size = vox_ops.compute_grid_size(self.pc_range, self.voxel_size)
+        self.max_points_per_voxel = int(vox_cfg.MAX_POINTS_PER_VOXEL)
+        mv = vox_cfg.MAX_NUMBER_OF_VOXELS
+        self.max_voxels = int(mv['train'] if isinstance(mv, dict) else mv)
+
+        head_cfg = model_cfg.DENSE_HEAD
+        self.box_coder = box_coder_lib.build_box_coder(
+            head_cfg.TARGET_ASSIGNER_CONFIG.BOX_CODER,
+            **head_cfg.TARGET_ASSIGNER_CONFIG.get('BOX_CODER_CONFIG', {}))
+        self.anchor_set = anchors.generate_anchors(
+            head_cfg.ANCHOR_GENERATOR_CONFIG, self.grid_size, self.pc_range)
+        self.match_height = head_cfg.TARGET_ASSIGNER_CONFIG.get('MATCH_HEIGHT', False)
+        self.use_kl_loss = 'KLLabel' in head_cfg.NAME
+        self.use_iou_branch = 'IoU' in head_cfg.NAME
+        self.dir_offset = head_cfg.get('DIR_OFFSET', 0.78539)
+        self.dir_limit_offset = head_cfg.get('DIR_LIMIT_OFFSET', 0.0)
+        self.num_dir_bins = (head_cfg.get('NUM_DIR_BINS', 2)
+                             if head_cfg.get('USE_DIRECTION_CLASSIFIER', False) else 0)
+        self.loss_weights = head_cfg.LOSS_CONFIG.LOSS_WEIGHTS
+        self.code_weights = list(self.loss_weights.get('code_weights', [1.0] * 7))
+
+        self.net = DetectorNet(
+            model_cfg=model_cfg, data_cfg=data_cfg,
+            grid_size=self.grid_size, voxel_size=self.voxel_size,
+            pc_range=self.pc_range, max_voxels=self.max_voxels,
+            max_points_per_voxel=self.max_points_per_voxel,
+            num_class=num_class,
+            num_anchors_per_location=self.anchor_set.num_anchors_per_location,
+            code_size=self.box_coder.code_size,
+            axis_name=axis_name)
+
+    # -- init ---------------------------------------------------------------
+    def init(self, rng, batch):
+        return self.net.init(rng, batch['points'], batch['points_mask'],
+                             train=True)
+
+    # -- training loss ------------------------------------------------------
+    def loss_fn(self, variables, batch, train=True, mutable=('batch_stats',)):
+        """Returns (total_loss, (metrics, new_model_state))."""
+        out, new_state = self.net.apply(
+            variables, batch['points'], batch['points_mask'], train=train,
+            mutable=list(mutable))
+        loss, metrics = self.compute_loss(out, batch)
+        return loss, (metrics, new_state)
+
+    def compute_loss(self, out, batch):
+        targets = jax.vmap(
+            lambda gb, gm, gu: target_assigner.assign_targets(
+                self.anchor_set, gb, gm, gu, self.box_coder,
+                match_height=self.match_height)
+        )(batch['gt_boxes'], batch['gt_mask'], batch['gt_uncertainty'])
+
+        flat = anchor_heads._flatten_preds(out)
+        lw = self.loss_weights
+        metrics = {}
+
+        c_loss = anchor_heads.cls_loss(
+            flat['cls_preds'], targets.box_cls_labels, self.num_class)
+        c_loss = c_loss * lw['cls_weight']
+        metrics['loss_cls'] = c_loss
+
+        if self.use_kl_loss:
+            r_loss, parts = anchor_heads.reg_loss_kl_label(
+                flat['box_preds'], flat['box_std_preds'],
+                targets.box_reg_targets, targets.box_cls_labels,
+                targets.label_uncertainty, code_weights=self.code_weights)
+            r_loss = r_loss * lw['loc_weight']
+            metrics.update({k: v * lw['loc_weight'] for k, v in parts.items()})
+        else:
+            r_loss = anchor_heads.reg_loss_smooth_l1(
+                flat['box_preds'], targets.box_reg_targets,
+                targets.box_cls_labels, code_weights=self.code_weights)
+            r_loss = r_loss * lw['loc_weight']
+        metrics['loss_loc'] = r_loss
+        total = c_loss + r_loss
+
+        if self.num_dir_bins > 0 and 'dir_cls_preds' in flat:
+            flat_anchors = jnp.asarray(self.anchor_set.flat_anchors)
+            b = flat['box_preds'].shape[0]
+            anc = jnp.broadcast_to(flat_anchors[None], (b, *flat_anchors.shape))
+            dir_t = anchor_heads.get_direction_targets(
+                anc, targets.box_reg_targets, self.dir_offset, self.num_dir_bins)
+            d_loss = anchor_heads.dir_loss(
+                flat['dir_cls_preds'], dir_t,
+                targets.box_cls_labels > 0, self.num_dir_bins)
+            d_loss = d_loss * lw['dir_weight']
+            metrics['loss_dir'] = d_loss
+            total = total + d_loss
+
+        if self.use_iou_branch and 'iou_preds' in flat:
+            i_loss = anchor_heads.iou_branch_loss(
+                flat['iou_preds'], flat['box_preds'], targets.box_reg_targets,
+                targets.box_cls_labels, jnp.asarray(self.anchor_set.flat_anchors),
+                self.box_coder)
+            metrics['loss_iou'] = i_loss
+            total = total + i_loss
+
+        metrics['loss'] = total
+        return total, metrics
+
+    # -- inference ----------------------------------------------------------
+    def predict(self, variables, batch, post_cfg=None):
+        """Forward + decode + per-sample NMS.  Returns fixed-shape dict:
+        final_boxes (B, K, 7), final_scores (B, K), final_labels (B, K),
+        final_valid (B, K)."""
+        post = post_cfg if post_cfg is not None else self.model_cfg.POST_PROCESSING
+        out = self.net.apply(variables, batch['points'], batch['points_mask'],
+                             train=False)
+        decoded = anchor_heads.decode_predictions(
+            out, jnp.asarray(self.anchor_set.flat_anchors), self.box_coder,
+            dir_offset=self.dir_offset, dir_limit_offset=self.dir_limit_offset,
+            num_dir_bins=self.num_dir_bins)
+
+        cls_preds = decoded['batch_cls_preds']
+        scores = jax.nn.sigmoid(cls_preds)
+        if self.use_iou_branch and 'batch_iou_preds' in decoded:
+            head_cfg = self.model_cfg.DENSE_HEAD
+            iou = (decoded['batch_iou_preds'] + 1.0) * 0.5
+            scores = jnp.where(scores < head_cfg.get('PRE_CLS_THRESH', 0.0), 0.0, scores)
+            iou = jnp.where(iou < head_cfg.get('PRE_IOU_THRESH', 0.0), 0.0, iou)
+            scores = scores * jnp.power(jnp.clip(iou, 0.0, None),
+                                        head_cfg.get('POW', 1.0))
+
+        nms_cfg = post.NMS_CONFIG
+        use_voting = nms_cfg.NMS_TYPE in ('new_nms_gpu', 'variance_voting')
+        pre_max = int(nms_cfg.NMS_PRE_MAXSIZE)
+        post_max = int(nms_cfg.NMS_POST_MAXSIZE)
+        thresh = float(nms_cfg.NMS_THRESH)
+        score_thresh = float(post.get('SCORE_THRESH', 0.0))
+        post_score_thresh = float(post.get('POST_SCORE_THRESH', 0.0))
+
+        def one_sample(scores_s, boxes_s, std_s):
+            best_scores = scores_s.max(axis=-1)
+            best_labels = scores_s.argmax(axis=-1) + 1
+            if use_voting:
+                boxes_wrapped = jnp.concatenate([
+                    boxes_s[:, :6],
+                    common.limit_period(boxes_s[:, 6:7], 0.5, 2 * np.pi)], axis=1)
+                variance = jnp.exp(std_s[:, :7])
+                idx, valid, voted, kept_scores = nms_ops.variance_voting_nms(
+                    boxes_wrapped, best_scores, variance, thresh,
+                    pre_max=pre_max, post_max=post_max,
+                    score_threshold=score_thresh)
+                final_boxes = voted
+                final_scores = kept_scores
+            else:
+                masked_scores = jnp.where(best_scores >= score_thresh,
+                                          best_scores, 0.0)
+                idx, valid = nms_ops.nms_bev(
+                    boxes_s, masked_scores, thresh,
+                    pre_max=pre_max, post_max=post_max,
+                    score_threshold=score_thresh)
+                final_boxes = boxes_s[idx]
+                final_scores = jnp.where(valid, best_scores[idx], 0.0)
+            final_labels = jnp.where(valid, best_labels[idx], 0)
+            if post_score_thresh > 0:
+                keep = final_scores > post_score_thresh
+                valid = valid & keep
+                final_scores = jnp.where(keep, final_scores, 0.0)
+            return final_boxes, final_scores, final_labels, valid
+
+        std = decoded.get('batch_box_std_preds',
+                          jnp.zeros_like(decoded['batch_box_preds']))
+        fb, fs, fl, fv = jax.vmap(one_sample)(
+            scores, decoded['batch_box_preds'][..., :7], std)
+        return {'final_boxes': fb, 'final_scores': fs,
+                'final_labels': fl, 'final_valid': fv}
+
+
+def build_detector(cfg, axis_name=None):
+    """cfg: full config with CLASS_NAMES / DATA_CONFIG / MODEL."""
+    return Detector(cfg.MODEL, cfg.DATA_CONFIG,
+                    num_class=len(cfg.CLASS_NAMES), axis_name=axis_name)
