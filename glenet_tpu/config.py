@@ -51,19 +51,34 @@ class Cfg(dict):
         return Cfg({k: copy.deepcopy(v, memo) for k, v in self.items()})
 
 
+def _resolve_base_path(path: str) -> str:
+    """_BASE_CONFIG_ paths resolve against cwd first (reference behavior),
+    falling back to the repo root so configs work from any directory."""
+    p = Path(path)
+    if p.exists():
+        return str(p)
+    repo_rel = Path(__file__).resolve().parent.parent / path
+    if repo_rel.exists():
+        return str(repo_rel)
+    return str(p)  # let open() raise a clear error
+
+
 def merge_new_config(config: Cfg, new_config: dict) -> Cfg:
-    """Recursively merge `new_config` into `config`, resolving _BASE_CONFIG_."""
+    """Recursively merge `new_config` into `config`, resolving _BASE_CONFIG_
+    at any nesting level (the reference nests it under DATA_CONFIG)."""
     if '_BASE_CONFIG_' in new_config:
-        with open(new_config['_BASE_CONFIG_'], 'r') as f:
+        with open(_resolve_base_path(new_config['_BASE_CONFIG_']), 'r') as f:
             base = yaml.safe_load(f)
-        config.update(Cfg(base))
+        merge_new_config(config, base)
     for key, val in new_config.items():
         if key == '_BASE_CONFIG_':
             continue
-        if isinstance(val, dict) and key in config and isinstance(config[key], dict):
+        if isinstance(val, dict):
+            if key not in config or not isinstance(config[key], dict):
+                config[key] = Cfg()
             merge_new_config(config[key], val)
         else:
-            config[key] = copy.deepcopy(Cfg(val) if isinstance(val, dict) else val)
+            config[key] = copy.deepcopy(val)
     return config
 
 

@@ -199,8 +199,10 @@ class Detector:
 
     # -- init ---------------------------------------------------------------
     def init(self, rng, batch):
-        return self.net.init(rng, batch['points'], batch['points_mask'],
-                             train=True)
+        # jit the init: eager init dispatches thousands of ops one by one
+        # (minutes over the TPU tunnel); compiled it runs in seconds.
+        init_fn = jax.jit(functools.partial(self.net.init, train=True))
+        return init_fn(rng, batch['points'], batch['points_mask'])
 
     # -- training loss ------------------------------------------------------
     def loss_fn(self, variables, batch, train=True, mutable=('batch_stats',)):

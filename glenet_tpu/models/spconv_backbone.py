@@ -1,0 +1,256 @@
+"""Sparse 3D conv backbones (VoxelBackBone8x family) on the gather-GEMM
+primitives in ops/sparse.py.
+
+Structure per reference pcdet/models/backbones_3d/spconv_backbone.py:69-180
+(VoxelBackBone8x) and :296-353 (VoxelBackBone8xCiassd):
+  conv_input SubM(16) -> conv1 [SubM16]
+  -> conv2 [SpConv s2 -> 32, n x SubM32]
+  -> conv3 [SpConv s2 -> 64, n x SubM64]
+  -> conv4 [SpConv s2 pad (0,1,1) -> 64, n x SubM64]
+  -> conv_out SpConv (3,1,1) stride (2,1,1) -> 128 (Ciassd: 64)
+then HeightCompression to BEV (z folded into channels).
+The sparse z-shape is nz + 1 (reference sparse_shape = grid[::-1] + [1,0,0]).
+
+Each resolution's submanifold neighbor table is computed once and shared by
+all SubM convs at that level (the TPU analogue of spconv's indice_key reuse).
+Static per-level voxel budgets cap the active-site tables.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import sparse
+from .layers import MaskedBatchNorm
+
+
+class SubMConvBN(nn.Module):
+    """Submanifold sparse conv + BN + ReLU with a precomputed neighbor table."""
+    features: int
+    kernel_volume: int = 27
+    use_relu: bool = True
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, feats, nbr_idx, mask, train: bool = True):
+        """feats (B, V, Cin), nbr_idx (B, K, V), mask (B, V)."""
+        cin = feats.shape[-1]
+        w = self.param('kernel', nn.initializers.lecun_normal(),
+                       (self.kernel_volume, cin, self.features))
+        out = jax.vmap(sparse.gather_gemm, in_axes=(0, 0, None))(
+            feats, nbr_idx, w)
+        out = MaskedBatchNorm(axis_name=self.axis_name)(
+            out, mask=mask, use_running_average=not train)
+        if self.use_relu:
+            out = nn.relu(out)
+        return jnp.where(mask[..., None], out, 0.0)
+
+
+class SparseConvBN(nn.Module):
+    """Strided sparse conv + BN + ReLU (changes the active-site table)."""
+    features: int
+    kernel_size: tuple
+    stride: tuple
+    padding: tuple
+    out_cap: int
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, feats, ids, mask, grid, train: bool = True):
+        """Returns (out_feats, out_ids, out_mask, out_grid)."""
+        cin = feats.shape[-1]
+        k_vol = int(np.prod(sparse._as3(self.kernel_size)))
+        w = self.param('kernel', nn.initializers.lecun_normal(),
+                       (k_vol, cin, self.features))
+
+        def one(ids_s, mask_s, feats_s):
+            out_ids, out_mask = sparse.strided_output_sites(
+                ids_s, mask_s, grid, self.kernel_size, self.stride,
+                self.padding, self.out_cap)
+            table = sparse.strided_gather_table(
+                ids_s, mask_s, out_ids, out_mask, grid,
+                self.kernel_size, self.stride, self.padding)
+            out = sparse.gather_gemm(feats_s, table, w)
+            return out, out_ids, out_mask
+
+        out, out_ids, out_mask = jax.vmap(one)(ids, mask, feats)
+        out = MaskedBatchNorm(axis_name=self.axis_name)(
+            out, mask=out_mask, use_running_average=not train)
+        out = nn.relu(out)
+        out = jnp.where(out_mask[..., None], out, 0.0)
+        ogrid = sparse.out_grid_size(grid, self.kernel_size, self.stride,
+                                     self.padding)
+        return out, out_ids, out_mask, ogrid
+
+
+class DenseConvBN(nn.Module):
+    """Masked dense 3D conv + BN + ReLU (NDHWC) — exact submanifold/strided
+    sparse-conv semantics on a densified grid (zeros at inactive sites feed
+    the conv; output is re-masked by occupancy for submanifold layers).
+    Used for the deep backbone levels where the grid is small enough that a
+    dense MXU conv beats gather-GEMM (the gathers dominate sparse cost on
+    TPU: ~100 ms/layer at V=16k vs <1 ms dense at stride-4 grids)."""
+    features: int
+    kernel_size: tuple = (3, 3, 3)
+    stride: tuple = (1, 1, 1)
+    padding: tuple = (1, 1, 1)
+    submanifold: bool = True
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, occ, train: bool = True):
+        """x: (B, D, H, W, C); occ: (B, D, H, W) bool occupancy."""
+        kz, ky, kx = sparse._as3(self.kernel_size)
+        sz, sy, sx = sparse._as3(self.stride)
+        pz, py, px = sparse._as3(self.padding)
+        cin = x.shape[-1]
+        w = self.param('kernel', nn.initializers.lecun_normal(),
+                       (kz * ky * kx, cin, self.features))
+        w_dense = w.reshape(kz, ky, kx, cin, self.features)
+        out = jax.lax.conv_general_dilated(
+            x, w_dense, window_strides=(sz, sy, sx),
+            padding=((pz, pz), (py, py), (px, px)),
+            dimension_numbers=('NDHWC', 'DHWIO', 'NDHWC'))
+        if self.submanifold:
+            new_occ = occ
+        else:
+            occf = occ.astype(x.dtype)[..., None]
+            occ_out = jax.lax.conv_general_dilated(
+                occf, jnp.ones((kz, ky, kx, 1, 1), x.dtype),
+                window_strides=(sz, sy, sx),
+                padding=((pz, pz), (py, py), (px, px)),
+                dimension_numbers=('NDHWC', 'DHWIO', 'NDHWC'))
+            new_occ = occ_out[..., 0] > 0
+        out = MaskedBatchNorm(axis_name=self.axis_name)(
+            out, mask=new_occ, use_running_average=not train)
+        out = nn.relu(out)
+        out = jnp.where(new_occ[..., None], out, 0.0)
+        return out, new_occ
+
+
+class VoxelBackBone8x(nn.Module):
+    """grid_size: (nx, ny, nz) raw voxel grid; sparse z becomes nz + 1.
+
+    Levels >= `dense_from` (1-indexed conv blocks) run as masked dense 3D
+    convs; below that, gather-GEMM sparse.  Default dense_from=3: the
+    stride-4 grid (e.g. 352 x 400 x 11 on KITTI) is small enough dense.
+    """
+    grid_size: tuple
+    max_voxels: int
+    subm_per_block: tuple = (2, 2, 2)   # Ciassd: (2, 3, 3)
+    out_channels: int = 128             # Ciassd: 64
+    channels: tuple = (16, 32, 64, 64)
+    dense_from: int = 3
+    axis_name: Optional[str] = None
+
+    @property
+    def sparse_grid(self):
+        nx, ny, nz = self.grid_size
+        return (nx, ny, nz + 1)
+
+    def level_caps(self):
+        v = self.max_voxels
+        return (v, v, v // 2, v // 4)
+
+    @nn.compact
+    def __call__(self, feats, coords, mask, train: bool = True):
+        """feats (B, V, C), coords (B, V, 3) as (z, y, x) (sorted by linear
+        id within each sample — the voxelize op guarantees this), mask (B, V).
+
+        Returns dict: bev_features (B, ny8, nx8, C_bev), multi_scale
+        {x_conv1..4: (feats, ids, mask, grid)} for the RoI stack.
+        """
+        grid1 = self.sparse_grid
+        nx, ny, nz = grid1
+        ids = jnp.where(
+            mask,
+            coords[..., 0] * (ny * nx) + coords[..., 1] * nx + coords[..., 2],
+            nx * ny * nz).astype(jnp.int32)
+
+        c1, c2, c3, c4 = self.channels
+        caps = self.level_caps()
+        ms = {}
+
+        # --- level 1: conv_input + conv1 (shared subm neighbor table) ------
+        nbr1 = jax.vmap(
+            lambda i, m: sparse.subm_neighbor_table(i, m, grid1, 3))(ids, mask)
+        x = SubMConvBN(c1, axis_name=self.axis_name, name='conv_input')(
+            feats, nbr1, mask, train=train)
+        x = SubMConvBN(c1, axis_name=self.axis_name, name='conv1_0')(
+            x, nbr1, mask, train=train)
+        ms['x_conv1'] = {'kind': 'sparse', 'features': x, 'ids': ids,
+                         'mask': mask, 'grid': grid1, 'stride': 1}
+
+        # --- level 2 --------------------------------------------------------
+        x, ids2, mask2, grid2 = SparseConvBN(
+            c2, 3, 2, 1, out_cap=caps[1], axis_name=self.axis_name,
+            name='conv2_down')(x, ids, mask, grid1, train=train)
+        nbr2 = jax.vmap(
+            lambda i, m: sparse.subm_neighbor_table(i, m, grid2, 3))(ids2, mask2)
+        for j in range(self.subm_per_block[0]):
+            x = SubMConvBN(c2, axis_name=self.axis_name,
+                           name=f'conv2_{j}')(x, nbr2, mask2, train=train)
+        ms['x_conv2'] = {'kind': 'sparse', 'features': x, 'ids': ids2,
+                         'mask': mask2, 'grid': grid2, 'stride': 2}
+
+        # --- level 3: sparse downsample, then densify its stride-4 output ---
+        # (densifying the stride-2 grid would cost ~3 GB/sample; the stride-4
+        # grid is 8x smaller and the MXU dense convs there beat gathers)
+        assert self.dense_from == 3, 'only dense_from=3 currently wired'
+        x, ids3, mask3, grid3 = SparseConvBN(
+            c3, 3, 2, 1, out_cap=caps[2], axis_name=self.axis_name,
+            name='conv3_down')(x, ids2, mask2, grid2, train=train)
+        xd = jax.vmap(lambda f, i, m: sparse.to_dense(f, i, m, grid3))(
+            x, ids3, mask3)                              # (B, D3, H3, W3, C)
+        occ = jax.vmap(lambda i, m: sparse.to_dense(
+            jnp.ones((i.shape[0], 1), xd.dtype), i, m, grid3))(
+            ids3, mask3)[..., 0] > 0
+
+        for j in range(self.subm_per_block[1]):
+            xd, occ = DenseConvBN(c3, 3, 1, 1, submanifold=True,
+                                  axis_name=self.axis_name,
+                                  name=f'conv3_{j}')(xd, occ, train=train)
+        ms['x_conv3'] = {'kind': 'dense', 'features': xd, 'occ': occ,
+                         'grid': grid3, 'stride': 4}
+
+        # --- level 4 (dense, z padding 0) -------------------------------------
+        xd, occ = DenseConvBN(c4, 3, 2, (0, 1, 1), submanifold=False,
+                              axis_name=self.axis_name,
+                              name='conv4_down')(xd, occ, train=train)
+        for j in range(self.subm_per_block[2]):
+            xd, occ = DenseConvBN(c4, 3, 1, 1, submanifold=True,
+                                  axis_name=self.axis_name,
+                                  name=f'conv4_{j}')(xd, occ, train=train)
+        grid4 = sparse.out_grid_size(grid3, 3, 2, (0, 1, 1))
+        ms['x_conv4'] = {'kind': 'dense', 'features': xd, 'occ': occ,
+                         'grid': grid4, 'stride': 8}
+
+        # --- conv_out: z-compression (3,1,1) stride (2,1,1) pad 0 -----------
+        xd, occ = DenseConvBN(self.out_channels, (3, 1, 1), (2, 1, 1),
+                              (0, 0, 0), submanifold=False,
+                              axis_name=self.axis_name,
+                              name='conv_out')(xd, occ, train=train)
+
+        # HeightCompression: fold z into channels
+        b, nz5, ny5, nx5, c = xd.shape
+        bev = jnp.transpose(xd, (0, 2, 3, 1, 4)).reshape(b, ny5, nx5, nz5 * c)
+
+        return {'bev_features': bev, 'multi_scale': ms,
+                'num_bev_features': nz5 * c}
+
+
+def build_backbone_3d(bb3d_cfg, grid_size, max_voxels, axis_name=None):
+    name = bb3d_cfg.NAME
+    if name == 'VoxelBackBone8x':
+        return VoxelBackBone8x(grid_size=tuple(grid_size),
+                               max_voxels=max_voxels, axis_name=axis_name)
+    if name == 'VoxelBackBone8xCiassd':
+        return VoxelBackBone8x(grid_size=tuple(grid_size),
+                               max_voxels=max_voxels,
+                               subm_per_block=(2, 3, 3), out_channels=64,
+                               axis_name=axis_name)
+    raise NotImplementedError(name)

@@ -1,0 +1,232 @@
+"""TPU-native sparse 3D convolution primitives.
+
+Replaces spconv (submanifold + strided sparse conv, SURVEY.md §2.4) with a
+gather-GEMM-scatter formulation over *static-budget* active-voxel tables:
+
+  - a sparse tensor is (features (V, C), ids (V,) int32, mask (V,)) where
+    `ids` are linearized (z, y, x) coordinates, SORTED ascending, with
+    invalid slots holding the sentinel `n_cells` (so they sort last);
+  - neighbor lookup is a vectorized binary search (jnp.searchsorted) of the
+    27 shifted ids — O(K * V * log V) dense work, no hash tables and no
+    dense (nz, ny, nx) index grid (which at KITTI stride-1 resolution would
+    be 92M cells);
+  - the convolution itself is K small GEMMs (gathered neighbors @ W[k]),
+    which XLA maps onto the MXU;
+  - strided (non-submanifold) conv first enumerates candidate output sites
+    (the spconv activation rule: every site reachable from an input site),
+    uniquifies them under a static output budget, then gathers inputs.
+
+All functions are per-sample and pure; modules vmap them over the batch.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _as3(v):
+    return (v, v, v) if isinstance(v, int) else tuple(v)
+
+
+def kernel_offsets(kernel_size) -> np.ndarray:
+    """(K, 3) integer offsets in (z, y, x) order, row-major k index."""
+    kz, ky, kx = _as3(kernel_size)
+    return np.stack(np.meshgrid(
+        np.arange(kz), np.arange(ky), np.arange(kx),
+        indexing='ij'), axis=-1).reshape(-1, 3)
+
+
+def linearize(z, y, x, grid):
+    nx, ny, nz = grid
+    return z * (ny * nx) + y * nx + x
+
+
+def delinearize(ids, grid):
+    nx, ny, nz = grid
+    z = ids // (ny * nx)
+    rem = ids % (ny * nx)
+    return z, rem // nx, rem % nx
+
+
+def out_grid_size(grid, kernel_size, stride, padding) -> Tuple[int, int, int]:
+    """Output (nx, ny, nz) for a strided sparse conv (conv arithmetic)."""
+    kz, ky, kx = _as3(kernel_size)
+    sz, sy, sx = _as3(stride)
+    pz, py, px = _as3(padding)
+    nx, ny, nz = grid
+    ox = (nx + 2 * px - kx) // sx + 1
+    oy = (ny + 2 * py - ky) // sy + 1
+    oz = (nz + 2 * pz - kz) // sz + 1
+    return (ox, oy, oz)
+
+
+def subm_neighbor_table(ids, mask, grid, kernel_size=3):
+    """Neighbor slot indices for submanifold conv.
+
+    Args:
+        ids: (V,) sorted linear ids (invalid slots == n_cells sentinel).
+        mask: (V,) bool validity.
+    Returns:
+        nbr_idx: (K, V) int32 — slot index of each neighbor, or V (padding
+                 row) when absent;
+    The center offset contributes the voxel itself.
+
+    Optimization: linear ids are x-minor, so the (dz, dy, +-1) neighbors sit
+    immediately adjacent (in sorted order) to the (dz, dy, 0) hit — only the
+    kx-center offsets need a binary search; +-x slots derive from pos +- 1.
+    For a 3^3 kernel that cuts searchsorted queries from 27 V to 9 V.
+    """
+    kz, ky, kx = _as3(kernel_size)
+    nx, ny, nz = grid
+    n_cells = nx * ny * nz
+    v = ids.shape[0]
+    assert kx == 3 or kx == 1, 'x-kernel sizes 1/3 supported'
+
+    z, y, x = delinearize(jnp.where(mask, ids, 0), grid)
+    hz = (kz - 1) // 2
+    hy = (ky - 1) // 2
+    center_offs = np.stack(np.meshgrid(
+        np.arange(kz) - hz, np.arange(ky) - hy, indexing='ij'),
+        axis=-1).reshape(-1, 2)                                  # (kz*ky, 2)
+    d = jnp.asarray(center_offs, jnp.int32)
+    tz = z[None, :] + d[:, 0:1]                                  # (kz*ky, V)
+    ty = y[None, :] + d[:, 1:2]
+    valid_c = (mask[None, :]
+               & (tz >= 0) & (tz < nz) & (ty >= 0) & (ty < ny))
+    tid_c = jnp.where(valid_c, linearize(tz, ty, x[None, :], grid), n_cells)
+
+    pos_c = jnp.clip(jnp.searchsorted(ids, tid_c), 0, v - 1)     # (kz*ky, V)
+    found_c = valid_c & (ids[pos_c] == tid_c) & (tid_c < n_cells)
+    center = jnp.where(found_c, pos_c, v).astype(jnp.int32)
+
+    if kx == 1:
+        return center
+
+    # x-1 neighbor: the entry just below the insertion point of tid_c
+    pos_m = jnp.clip(pos_c - 1, 0, v - 1)
+    tid_m = tid_c - 1
+    found_m = valid_c & (x[None, :] - 1 >= 0) & (ids[pos_m] == tid_m) \
+        & (tid_c < n_cells)
+    minus = jnp.where(found_m, pos_m, v).astype(jnp.int32)
+
+    # x+1 neighbor: the entry just after the found/insertion position.
+    # if tid_c itself is present it sits at pos_c, so x+1 is at pos_c + 1;
+    # if absent, pos_c already points at the first id > tid_c.
+    pos_p = jnp.clip(pos_c + found_c.astype(jnp.int32), 0, v - 1)
+    tid_p = tid_c + 1
+    found_p = valid_c & (x[None, :] + 1 < nx) & (ids[pos_p] == tid_p) \
+        & (tid_c < n_cells)
+    plus = jnp.where(found_p, pos_p, v).astype(jnp.int32)
+
+    # interleave to row-major (dz, dy, dx) tap order
+    kzy = kz * ky
+    out = jnp.stack([minus, center, plus], axis=1)               # (kzy, 3, V)
+    return out.reshape(kzy * 3, v)
+
+
+def gather_gemm(features, nbr_idx, weights):
+    """Sparse conv contraction: sum_k gather(features, nbr_idx[k]) @ W[k].
+
+    One gather (K, V, Cin) + one batched GEMM, contracted over the K taps.
+    (A python-unrolled K-loop blew compile time past 15 min; a lax.scan
+    serialized 27 small dispatches per layer and ran ~800 ms/step at KITTI
+    scale.  The einsum form is a single fused gather + batched matmul that
+    XLA maps straight onto the MXU; the (K, V, Cin) transient is ~110 MB at
+    V=16k, C=64.)
+
+    Args:
+        features: (V, Cin); nbr_idx: (K, V) with V == padding row;
+        weights: (K, Cin, Cout).
+    Returns: (V, Cout).
+    """
+    padded = jnp.concatenate(
+        [features, jnp.zeros((1, features.shape[1]), features.dtype)], axis=0)
+    gathered = padded[nbr_idx]                                   # (K, V, Cin)
+    return jnp.einsum('kvc,kco->vo', gathered, weights,
+                      preferred_element_type=features.dtype)
+
+
+def strided_output_sites(ids, mask, grid, kernel_size, stride, padding,
+                         out_cap: int):
+    """Active output sites of a strided sparse conv.
+
+    spconv rule: output site o is active iff some input site i satisfies
+    i = o * s - p + k for a kernel position k.  Enumerate candidates
+    o = (i + p - k) / s (where divisible & in range), unique under the
+    static `out_cap` budget.
+
+    Returns:
+        out_ids: (out_cap,) sorted linear ids on the OUTPUT grid
+                 (sentinel n_out_cells in empty slots);
+        out_mask: (out_cap,) bool.
+    """
+    kz, ky, kx = _as3(kernel_size)
+    sz, sy, sx = _as3(stride)
+    pz, py, px = _as3(padding)
+    ogrid = out_grid_size(grid, kernel_size, stride, padding)
+    onx, ony, onz = ogrid
+    n_out_cells = onx * ony * onz
+
+    offs = jnp.asarray(kernel_offsets(kernel_size), jnp.int32)    # (K, 3)
+    z, y, x = delinearize(jnp.where(mask, ids, 0), grid)
+
+    cz = z[None, :] + pz - offs[:, 0:1]
+    cy = y[None, :] + py - offs[:, 1:2]
+    cx = x[None, :] + px - offs[:, 2:3]
+    divisible = ((cz % sz == 0) & (cy % sy == 0) & (cx % sx == 0))
+    oz, oy, ox = cz // sz, cy // sy, cx // sx
+    valid = (mask[None, :] & divisible
+             & (oz >= 0) & (oz < onz) & (oy >= 0) & (oy < ony)
+             & (ox >= 0) & (ox < onx))
+    cand = jnp.where(valid, oz * (ony * onx) + oy * onx + ox, n_out_cells)
+    out_ids = jnp.unique(cand.reshape(-1), size=out_cap,
+                         fill_value=n_out_cells)
+    out_mask = out_ids < n_out_cells
+    return out_ids, out_mask
+
+
+def strided_gather_table(in_ids, in_mask, out_ids, out_mask, grid,
+                         kernel_size, stride, padding):
+    """For each output site and kernel position, the input slot to gather.
+
+    input coord = out * s - p + k.  Returns (K, Vout) slot indices with
+    V_in as the padding row.
+    """
+    sz, sy, sx = _as3(stride)
+    pz, py, px = _as3(padding)
+    nx, ny, nz = grid
+    n_cells = nx * ny * nz
+    ogrid = out_grid_size(grid, kernel_size, stride, padding)
+    onx, ony, onz = ogrid
+    v_in = in_ids.shape[0]
+
+    oz = out_ids // (ony * onx)
+    rem = out_ids % (ony * onx)
+    oy, ox = rem // onx, rem % onx
+    offs = jnp.asarray(kernel_offsets(kernel_size), jnp.int32)
+
+    iz = oz[None, :] * sz - pz + offs[:, 0:1]
+    iy = oy[None, :] * sy - py + offs[:, 1:2]
+    ix = ox[None, :] * sx - px + offs[:, 2:3]
+    valid = (out_mask[None, :]
+             & (iz >= 0) & (iz < nz) & (iy >= 0) & (iy < ny)
+             & (ix >= 0) & (ix < nx))
+    tid = jnp.where(valid, linearize(iz, iy, ix, grid), n_cells)
+    pos = jnp.clip(jnp.searchsorted(in_ids, tid), 0, v_in - 1)
+    found = valid & (in_ids[pos] == tid) & (tid < n_cells)
+    return jnp.where(found, pos, v_in).astype(jnp.int32)
+
+
+def to_dense(features, ids, mask, grid):
+    """(V, C) sparse -> (nz, ny, nx, C) dense."""
+    nx, ny, nz = grid
+    n_cells = nz * ny * nx
+    flat = jnp.where(mask, ids, n_cells)
+    dense = jnp.zeros((n_cells, features.shape[-1]), features.dtype)
+    dense = dense.at[flat].set(
+        jnp.where(mask[:, None], features, 0.0), mode='drop')
+    return dense.reshape(nz, ny, nx, features.shape[-1])

@@ -1,0 +1,172 @@
+"""Sparse conv primitives vs dense-conv oracle.
+
+Submanifold conv == dense conv (with zeros at inactive sites) evaluated at
+the active sites; strided sparse conv == the full dense strided conv (every
+nonzero dense output site is an active site by the spconv rule)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from glenet_tpu.ops import sparse
+
+GRID = (10, 8, 6)  # (nx, ny, nz)
+
+
+def make_sparse(rng, n_active, cap, cin):
+    nx, ny, nz = GRID
+    n_cells = nx * ny * nz
+    cells = rng.choice(n_cells, size=n_active, replace=False)
+    cells.sort()
+    ids = np.full((cap,), n_cells, np.int64)
+    ids[:n_active] = cells
+    mask = np.zeros((cap,), bool)
+    mask[:n_active] = True
+    feats = np.where(mask[:, None], rng.randn(cap, cin), 0).astype(np.float32)
+    return jnp.asarray(feats), jnp.asarray(ids.astype(np.int32)), jnp.asarray(mask)
+
+
+def densify(feats, ids, mask):
+    return np.asarray(sparse.to_dense(feats, ids, mask, GRID))
+
+
+def dense_conv(dense_in, w_dense, stride=(1, 1, 1), padding=((1, 1), (1, 1), (1, 1))):
+    """dense_in (nz, ny, nx, C); w_dense (kz, ky, kx, Cin, Cout)."""
+    out = jax.lax.conv_general_dilated(
+        dense_in[None], w_dense, window_strides=stride, padding=padding,
+        dimension_numbers=('NHWDC'[0] + 'ZYXC'[0:3] + 'C', 'ZYXIO', 'N' + 'ZYX' + 'C'))
+    return np.asarray(out[0])
+
+
+def test_subm_conv_matches_dense(rng):
+    cin, cout = 4, 8
+    feats, ids, mask = make_sparse(rng, 40, 64, cin)
+    w = rng.randn(27, cin, cout).astype(np.float32) * 0.1
+
+    nbr = sparse.subm_neighbor_table(ids, mask, GRID, 3)
+    out = np.asarray(sparse.gather_gemm(feats, nbr, jnp.asarray(w)))
+
+    dense_in = densify(feats, ids, mask)
+    w_dense = w.reshape(3, 3, 3, cin, cout)
+    dense_out = dense_conv(jnp.asarray(dense_in), jnp.asarray(w_dense))
+
+    # compare at active sites
+    ids_np, mask_np = np.asarray(ids), np.asarray(mask)
+    nx, ny, nz = GRID
+    for slot in np.nonzero(mask_np)[0]:
+        z, r = divmod(int(ids_np[slot]), ny * nx)
+        y, x = divmod(r, nx)
+        np.testing.assert_allclose(out[slot], dense_out[z, y, x],
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_strided_conv_matches_dense(rng):
+    cin, cout = 4, 6
+    feats, ids, mask = make_sparse(rng, 30, 64, cin)
+    w = rng.randn(27, cin, cout).astype(np.float32) * 0.1
+
+    out_ids, out_mask = sparse.strided_output_sites(
+        ids, mask, GRID, 3, 2, 1, out_cap=64)
+    table = sparse.strided_gather_table(ids, mask, out_ids, out_mask, GRID,
+                                        3, 2, 1)
+    out = sparse.gather_gemm(feats, table, jnp.asarray(w))
+    ogrid = sparse.out_grid_size(GRID, 3, 2, 1)
+    sparse_dense_out = np.asarray(sparse.to_dense(
+        jnp.where(out_mask[:, None], out, 0), out_ids, out_mask, ogrid))
+
+    dense_in = densify(feats, ids, mask)
+    w_dense = w.reshape(3, 3, 3, cin, cout)
+    dense_out = dense_conv(jnp.asarray(dense_in), jnp.asarray(w_dense),
+                           stride=(2, 2, 2))
+    np.testing.assert_allclose(sparse_dense_out, dense_out, rtol=1e-4, atol=1e-4)
+
+
+def test_strided_asymmetric_padding(rng):
+    """conv4-style: kernel 3, stride 2, padding (0, 1, 1)."""
+    cin, cout = 3, 5
+    feats, ids, mask = make_sparse(rng, 25, 48, cin)
+    w = rng.randn(27, cin, cout).astype(np.float32) * 0.1
+
+    out_ids, out_mask = sparse.strided_output_sites(
+        ids, mask, GRID, 3, 2, (0, 1, 1), out_cap=64)
+    table = sparse.strided_gather_table(ids, mask, out_ids, out_mask, GRID,
+                                        3, 2, (0, 1, 1))
+    out = sparse.gather_gemm(feats, table, jnp.asarray(w))
+    ogrid = sparse.out_grid_size(GRID, 3, 2, (0, 1, 1))
+    got = np.asarray(sparse.to_dense(
+        jnp.where(out_mask[:, None], out, 0), out_ids, out_mask, ogrid))
+
+    dense_in = densify(feats, ids, mask)
+    w_dense = w.reshape(3, 3, 3, cin, cout)
+    want = dense_conv(jnp.asarray(dense_in), jnp.asarray(w_dense),
+                      stride=(2, 2, 2),
+                      padding=((0, 0), (1, 1), (1, 1)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_zcompress_conv(rng):
+    """conv_out-style: kernel (3,1,1), stride (2,1,1), padding 0."""
+    cin, cout = 4, 8
+    feats, ids, mask = make_sparse(rng, 30, 64, cin)
+    w = rng.randn(3, cin, cout).astype(np.float32) * 0.1
+
+    out_ids, out_mask = sparse.strided_output_sites(
+        ids, mask, GRID, (3, 1, 1), (2, 1, 1), (0, 0, 0), out_cap=64)
+    table = sparse.strided_gather_table(
+        ids, mask, out_ids, out_mask, GRID, (3, 1, 1), (2, 1, 1), (0, 0, 0))
+    out = sparse.gather_gemm(feats, table, jnp.asarray(w))
+    ogrid = sparse.out_grid_size(GRID, (3, 1, 1), (2, 1, 1), (0, 0, 0))
+    got = np.asarray(sparse.to_dense(
+        jnp.where(out_mask[:, None], out, 0), out_ids, out_mask, ogrid))
+
+    dense_in = densify(feats, ids, mask)
+    w_dense = w.reshape(3, 1, 1, cin, cout)
+    want = dense_conv(jnp.asarray(dense_in), jnp.asarray(w_dense),
+                      stride=(2, 1, 1), padding=((0, 0), (0, 0), (0, 0)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_out_cap_overflow_drops_but_stays_valid(rng):
+    """With a too-small out_cap the op keeps a subset, still correct values."""
+    cin, cout = 2, 2
+    feats, ids, mask = make_sparse(rng, 40, 64, cin)
+    w = rng.randn(27, cin, cout).astype(np.float32) * 0.1
+    out_ids, out_mask = sparse.strided_output_sites(
+        ids, mask, GRID, 3, 2, 1, out_cap=8)
+    assert int(out_mask.sum()) <= 8
+    table = sparse.strided_gather_table(ids, mask, out_ids, out_mask, GRID, 3, 2, 1)
+    out = sparse.gather_gemm(feats, table, jnp.asarray(w))
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_backbone_shapes(rng):
+    """VoxelBackBone8x on a KITTI-like (but tiny) grid compiles and produces
+    the expected BEV shape."""
+    from glenet_tpu.models.spconv_backbone import VoxelBackBone8x
+    grid = (32, 32, 8)  # nx, ny, nz -> sparse z 9
+    cap = 256
+    bb = VoxelBackBone8x(grid_size=grid, max_voxels=cap)
+
+    nx, ny, nz = grid
+    nzs = nz + 1
+    n_cells = nx * ny * nzs
+    rngs = np.random.RandomState(1)
+    cells = np.sort(rngs.choice(n_cells, 200, replace=False))
+    ids = np.full((cap,), n_cells, np.int64)
+    ids[:200] = cells
+    z, r = np.divmod(ids, ny * nx)
+    y, x = np.divmod(r, nx)
+    coords = np.stack([z, y, x], 1).astype(np.int32)
+    mask = np.zeros((cap,), bool)
+    mask[:200] = True
+    feats = rngs.randn(cap, 4).astype(np.float32)
+
+    batch = lambda a: jnp.asarray(a)[None]
+    variables = bb.init(jax.random.PRNGKey(0), batch(feats), batch(coords),
+                        batch(mask), train=False)
+    out = bb.apply(variables, batch(feats), batch(coords), batch(mask),
+                   train=False)
+    # grid: 32 -> 16 -> 8 -> 4 (xy); z: 9 -> 5 -> 3 -> 2 -> conv_out -> ?
+    assert out['bev_features'].shape[1:3] == (4, 4)
+    assert out['num_bev_features'] == out['bev_features'].shape[-1]
+    assert np.isfinite(np.asarray(out['bev_features'])).all()
+    assert set(out['multi_scale']) == {'x_conv1', 'x_conv2', 'x_conv3', 'x_conv4'}

@@ -1,0 +1,133 @@
+"""Detector training CLI — the equivalent of the reference tools/train.py
+(:61-201): config + overrides, dataloader/model/optimizer build, auto-resume
+from the newest checkpoint, epoch loop with per-iter telemetry, checkpoint
+pruning, then evaluation of the final model.
+
+TPU-native: one jit'd data-parallel train step over a device mesh (DDP/NCCL
+replaced by batch sharding + XLA all-reduce, SURVEY.md §2.5).
+"""
+import argparse
+import datetime
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def parse_config():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--cfg_file', type=str, required=True)
+    parser.add_argument('--batch_size', type=int, default=None)
+    parser.add_argument('--epochs', type=int, default=None)
+    parser.add_argument('--extra_tag', type=str, default='default')
+    parser.add_argument('--ckpt', type=str, default=None)
+    parser.add_argument('--max_ckpt_save_num', type=int, default=30)
+    parser.add_argument('--workers', type=int, default=0)
+    parser.add_argument('--set', dest='set_cfgs', nargs=argparse.REMAINDER,
+                        default=None)
+    parser.add_argument('--data_path', type=str, default=None)
+    parser.add_argument('--output_dir', type=str, default=None)
+    parser.add_argument('--eval_after_train', action='store_true')
+    parser.add_argument('--max_steps_per_epoch', type=int, default=None)
+    args = parser.parse_args()
+
+    from glenet_tpu.config import cfg, cfg_from_list, cfg_from_yaml_file
+    cfg_from_yaml_file(args.cfg_file, cfg)
+    if args.set_cfgs is not None:
+        cfg_from_list(args.set_cfgs, cfg)
+    if args.data_path is not None:
+        cfg.DATA_CONFIG.DATA_PATH = args.data_path
+    return args, cfg
+
+
+def main():
+    args, cfg = parse_config()
+    from glenet_tpu.datasets.kitti_dataset import KittiDataset
+    from glenet_tpu.models.detectors import build_detector
+    from glenet_tpu.parallel import mesh as mesh_lib
+    from glenet_tpu.train import checkpoint as ckpt_lib
+    from glenet_tpu.train import optim as optim_lib
+    from glenet_tpu.train import state as state_lib
+    from glenet_tpu.utils.common import create_logger
+
+    output_dir = Path(args.output_dir or
+                      f'output/{cfg.TAG}/{args.extra_tag}')
+    ckpt_dir = output_dir / 'ckpt'
+    output_dir.mkdir(parents=True, exist_ok=True)
+    logger = create_logger(output_dir / 'train.log')
+
+    batch_size = args.batch_size or int(cfg.OPTIMIZATION.BATCH_SIZE_PER_GPU)
+    num_epochs = args.epochs or int(cfg.OPTIMIZATION.NUM_EPOCHS)
+
+    dataset = KittiDataset(cfg.DATA_CONFIG, cfg.CLASS_NAMES, training=True,
+                           logger=logger, seed=0)
+    steps_per_epoch = max(len(dataset) // batch_size, 1)
+    if args.max_steps_per_epoch:
+        steps_per_epoch = min(steps_per_epoch, args.max_steps_per_epoch)
+    total_steps = steps_per_epoch * num_epochs
+
+    detector = build_detector(cfg)
+    tx, lr_sched = optim_lib.build_optimizer(cfg.OPTIMIZATION, total_steps)
+
+    # use the largest device count that divides the batch
+    all_devices = jax.devices()
+    n_dev = len(all_devices)
+    while batch_size % n_dev != 0:
+        n_dev -= 1
+    mesh = mesh_lib.make_mesh(all_devices[:n_dev])
+    logger.info(f'devices: {n_dev}, batch {batch_size}, '
+                f'{steps_per_epoch} steps/epoch, {num_epochs} epochs')
+
+    example = next(dataset.iter_batches(batch_size, seed=0))
+    example = {k: jnp.asarray(v) for k, v in example.items()
+               if isinstance(v, np.ndarray)}
+    ts = state_lib.create_train_state(
+        detector, jax.random.PRNGKey(0), example, tx)
+    train_step = mesh_lib.jit_train_step(
+        state_lib.make_train_step(detector, tx), mesh)
+
+    start_epoch = 0
+    latest = args.ckpt or ckpt_lib.find_latest_checkpoint(ckpt_dir)
+    if latest:
+        logger.info(f'resuming from {latest}')
+        ck = ckpt_lib.load_checkpoint(latest)
+        ts = ckpt_lib.restore_train_state(ts, ck)
+        start_epoch = ck['epoch'] + 1
+
+    ts = jax.device_put(ts, mesh_lib.replicated(mesh))
+    it = int(ts.step)
+    for epoch in range(start_epoch, num_epochs):
+        t_epoch = time.time()
+        for step_i, batch in enumerate(
+                dataset.iter_batches(batch_size, seed=epoch)):
+            if step_i >= steps_per_epoch:
+                break
+            batch = {k: v for k, v in batch.items()
+                     if isinstance(v, np.ndarray)}
+            sharded = mesh_lib.shard_batch(batch, mesh)
+            ts, metrics = train_step(ts, sharded)
+            it += 1
+            if step_i % 50 == 0:
+                logger.info(
+                    f'epoch {epoch} it {it} '
+                    f'loss {float(metrics["loss"]):.4f} '
+                    f'lr {float(lr_sched(it)):.6f} '
+                    f'grad {float(metrics["grad_norm"]):.2f}')
+        logger.info(f'epoch {epoch} done in {time.time() - t_epoch:.1f}s')
+        ckpt_lib.save_checkpoint(
+            ckpt_lib.checkpoint_state(jax.device_get(ts), epoch, it),
+            ckpt_dir, epoch, args.max_ckpt_save_num)
+
+    if args.eval_after_train:
+        from tools.test import eval_checkpoint
+        eval_checkpoint(cfg, detector, ts, output_dir, logger,
+                        batch_size=batch_size)
+
+
+if __name__ == '__main__':
+    main()
