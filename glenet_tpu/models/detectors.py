@@ -100,8 +100,29 @@ class DetectorNet(nn.Module):
             raise NotImplementedError(bb_cfg.NAME)
 
         head_cfg = mcfg.DENSE_HEAD
+        self._mcfg = mcfg
         num_dir_bins = (head_cfg.get('NUM_DIR_BINS', 2)
                         if head_cfg.get('USE_DIRECTION_CLASSIFIER', False) else 0)
+        self._num_dir_bins = num_dir_bins
+        self._dir_offset = head_cfg.get('DIR_OFFSET', 0.78539)
+        self._dir_limit_offset = head_cfg.get('DIR_LIMIT_OFFSET', 0.0)
+        self._coder = box_coder_lib.build_box_coder(
+            head_cfg.TARGET_ASSIGNER_CONFIG.BOX_CODER,
+            **head_cfg.TARGET_ASSIGNER_CONFIG.get('BOX_CODER_CONFIG', {}))
+        self._anchor_set = anchors.generate_anchors(
+            head_cfg.ANCHOR_GENERATOR_CONFIG, self.grid_size, self.pc_range)
+
+        roi_cfg = mcfg.get('ROI_HEAD', None)
+        if roi_cfg is not None:
+            from .roi_heads import VoxelRCNNHead
+            self.roi_head = VoxelRCNNHead(
+                model_cfg=roi_cfg,
+                voxel_size=self.voxel_size, pc_range=self.pc_range,
+                code_size=self._coder.code_size,
+                kl_label='KLLabel' in roi_cfg.NAME,
+                axis_name=self.axis_name)
+        else:
+            self.roi_head = None
         common_kwargs = dict(
             num_class=self.num_class,
             num_anchors_per_location=self.num_anchors_per_location,
@@ -117,8 +138,11 @@ class DetectorNet(nn.Module):
         else:
             raise NotImplementedError(head_cfg.NAME)
 
-    def __call__(self, points, points_mask, train: bool = True):
-        """points: (B, P, C), points_mask: (B, P) -> head output dict."""
+    def __call__(self, points, points_mask, gt_boxes=None, gt_mask=None,
+                 gt_uncertainty=None, train: bool = True):
+        """points: (B, P, C), points_mask: (B, P) -> output dict with dense
+        head outputs (and, for two-stage models, roi outputs + sampled-roi
+        targets when training)."""
         voxelize_fn = functools.partial(
             vox_ops.voxelize,
             voxel_size=tuple(self.voxel_size), pc_range=tuple(self.pc_range),
@@ -140,17 +164,74 @@ class DetectorNet(nn.Module):
             feats = jax.vmap(lambda vv, nn_: self.vfe(vv, nn_, train=train))(
                 vox['voxels'], vox['voxel_num_points'])
 
+        multi_scale = None
         if self.backbone_3d is not None:
             sp_out = self.backbone_3d(
                 feats, vox['voxel_coords'], vox['voxel_mask'], train=train)
             spatial = sp_out['bev_features']
+            multi_scale = sp_out['multi_scale']
         else:
             spatial = jax.vmap(
                 lambda f, c, m: self.map_to_bev(f, c, m, train=train))(
                 feats, vox['voxel_coords'], vox['voxel_mask'])
 
         spatial_2d = self.backbone_2d(spatial, train=train)
-        return self.dense_head(spatial_2d, train=train)
+        out = {'dense_head': self.dense_head(spatial_2d, train=train)}
+        if self.roi_head is None:
+            return out
+
+        # ---- two-stage: proposals -> (train: sampling) -> roi head --------
+        from flax.core import unfreeze
+        from ..config import Cfg
+        from . import roi_heads as roi_lib
+        from ..ops import nms as nms_ops
+        roi_mcfg = Cfg(unfreeze(self._mcfg))  # linen froze the dict attr
+        decoded = anchor_heads.decode_predictions(
+            out['dense_head'], jnp.asarray(self._anchor_set.flat_anchors),
+            self._coder, dir_offset=self._dir_offset,
+            dir_limit_offset=self._dir_limit_offset,
+            num_dir_bins=self._num_dir_bins)
+        cls_scores = jax.nn.sigmoid(decoded['batch_cls_preds'])
+        best_scores = cls_scores.max(axis=-1)
+        best_labels = cls_scores.argmax(axis=-1) + 1
+        nms_cfg = roi_mcfg.ROI_HEAD.NMS_CONFIG['TRAIN' if train else 'TEST']
+        pre_max = int(nms_cfg.NMS_PRE_MAXSIZE)
+        post_max = int(nms_cfg.NMS_POST_MAXSIZE)
+
+        def one_sample(boxes, scores, labels):
+            idx, valid = nms_ops.nms_bev(
+                boxes, scores, float(nms_cfg.NMS_THRESH),
+                pre_max=pre_max, post_max=post_max,
+                score_threshold=float(nms_cfg.get('SCORE_THRESH', 0.0)))
+            return (boxes[idx], jnp.where(valid, scores[idx], 0.0),
+                    jnp.where(valid, labels[idx], 0), valid)
+
+        rois, roi_scores, roi_labels, roi_valid = jax.vmap(one_sample)(
+            decoded['batch_box_preds'][..., :7], best_scores, best_labels)
+        out['proposals'] = {'rois': rois, 'roi_scores': roi_scores,
+                            'roi_labels': roi_labels, 'roi_valid': roi_valid}
+
+        if train:
+            assert gt_boxes is not None
+            rng = self.make_rng('roi_sampler')
+            tcfg = roi_mcfg.ROI_HEAD.TARGET_CONFIG
+            keys = jax.random.split(rng, rois.shape[0])
+            targets = jax.vmap(functools.partial(
+                roi_lib.sample_rois_single, cfg=tcfg))(
+                keys, rois, roi_scores, roi_labels, gt_boxes, gt_mask,
+                gt_uncertainty)
+            b, r = targets['rois'].shape[:2]
+            gt_ct = jax.vmap(roi_lib.canonical_gt_of_rois)(
+                targets['rois'], targets['gt_of_rois_src'])
+            targets['gt_of_rois_ct'] = gt_ct
+            out['roi_targets'] = targets
+            roi_in = targets['rois']
+        else:
+            roi_in = rois
+
+        out['rcnn'] = self.roi_head(roi_in, multi_scale, train=train)
+        out['rcnn']['rois'] = roi_in
+        return out
 
 
 class Detector:
@@ -201,19 +282,31 @@ class Detector:
     def init(self, rng, batch):
         # jit the init: eager init dispatches thousands of ops one by one
         # (minutes over the TPU tunnel); compiled it runs in seconds.
+        r_params, r_roi, r_drop = jax.random.split(rng, 3)
         init_fn = jax.jit(functools.partial(self.net.init, train=True))
-        return init_fn(rng, batch['points'], batch['points_mask'])
+        return init_fn(
+            {'params': r_params, 'roi_sampler': r_roi, 'dropout': r_drop},
+            batch['points'], batch['points_mask'],
+            gt_boxes=batch.get('gt_boxes'), gt_mask=batch.get('gt_mask'),
+            gt_uncertainty=batch.get('gt_uncertainty'))
 
     # -- training loss ------------------------------------------------------
-    def loss_fn(self, variables, batch, train=True, mutable=('batch_stats',)):
+    def loss_fn(self, variables, batch, train=True, mutable=('batch_stats',),
+                rng=None):
         """Returns (total_loss, (metrics, new_model_state))."""
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        r_roi, r_drop = jax.random.split(rng)
         out, new_state = self.net.apply(
-            variables, batch['points'], batch['points_mask'], train=train,
-            mutable=list(mutable))
+            variables, batch['points'], batch['points_mask'],
+            gt_boxes=batch.get('gt_boxes'), gt_mask=batch.get('gt_mask'),
+            gt_uncertainty=batch.get('gt_uncertainty'),
+            train=train, mutable=list(mutable),
+            rngs={'roi_sampler': r_roi, 'dropout': r_drop})
         loss, metrics = self.compute_loss(out, batch)
         return loss, (metrics, new_state)
 
-    def compute_loss(self, out, batch):
+    def compute_loss(self, full_out, batch):
+        out = full_out['dense_head']
         targets = jax.vmap(
             lambda gb, gm, gu: target_assigner.assign_targets(
                 self.anchor_set, gb, gm, gu, self.box_coder,
@@ -265,6 +358,28 @@ class Detector:
             metrics['loss_iou'] = i_loss
             total = total + i_loss
 
+        # ---- rcnn (two-stage) losses ---------------------------------------
+        if 'rcnn' in full_out and 'roi_targets' in full_out:
+            from . import roi_heads as roi_lib
+            rcnn = full_out['rcnn']
+            rt = full_out['roi_targets']
+            roi_lw = self.model_cfg.ROI_HEAD.LOSS_CONFIG.LOSS_WEIGHTS
+            c_loss2 = roi_lib.rcnn_cls_loss(
+                rcnn['rcnn_cls'], rt['rcnn_cls_labels'])
+            c_loss2 = c_loss2 * roi_lw['rcnn_cls_weight']
+            metrics['rcnn_loss_cls'] = c_loss2
+            r_loss2, parts2 = roi_lib.rcnn_reg_loss(
+                rcnn['rcnn_reg'], rcnn.get('rcnn_reg_std'),
+                rt['rois'], rt['gt_of_rois_ct'], rt['gt_of_rois_src'],
+                rt['gt_unc_of_rois'], rt['reg_valid_mask'],
+                self.box_coder, roi_lw,
+                kl_label='rcnn_reg_std' in rcnn,
+                corner_weight=roi_lw.get('rcnn_corner_weight', 1.0),
+                code_weights=list(roi_lw.get('code_weights', [1.0] * 7)))
+            metrics['rcnn_loss_reg'] = r_loss2
+            metrics.update(parts2)
+            total = total + c_loss2 + r_loss2
+
         metrics['loss'] = total
         return total, metrics
 
@@ -274,8 +389,27 @@ class Detector:
         final_boxes (B, K, 7), final_scores (B, K), final_labels (B, K),
         final_valid (B, K)."""
         post = post_cfg if post_cfg is not None else self.model_cfg.POST_PROCESSING
-        out = self.net.apply(variables, batch['points'], batch['points_mask'],
-                             train=False)
+        full_out = self.net.apply(
+            variables, batch['points'], batch['points_mask'], train=False)
+
+        if 'rcnn' in full_out:
+            from . import roi_heads as roi_lib
+            rcnn = full_out['rcnn']
+            rois = rcnn['rois']
+            b, r = rois.shape[:2]
+            boxes_all = roi_lib.decode_rcnn_boxes(
+                rois, rcnn['rcnn_reg'], self.box_coder)
+            best_scores = jax.nn.sigmoid(rcnn['rcnn_cls']).reshape(b, r)
+            best_labels = full_out['proposals']['roi_labels']
+            best_scores = jnp.where(full_out['proposals']['roi_valid'],
+                                    best_scores, 0.0)
+            std_all = rcnn.get(
+                'rcnn_reg_std',
+                jnp.zeros((b * r, self.box_coder.code_size))).reshape(b, r, -1)
+            return self._final_nms(post, boxes_all[..., :7], best_scores,
+                                   best_labels, std_all)
+
+        out = full_out['dense_head']
         decoded = anchor_heads.decode_predictions(
             out, jnp.asarray(self.anchor_set.flat_anchors), self.box_coder,
             dir_offset=self.dir_offset, dir_limit_offset=self.dir_limit_offset,
@@ -290,6 +424,14 @@ class Detector:
             iou = jnp.where(iou < head_cfg.get('PRE_IOU_THRESH', 0.0), 0.0, iou)
             scores = scores * jnp.power(jnp.clip(iou, 0.0, None),
                                         head_cfg.get('POW', 1.0))
+        best_scores = scores.max(axis=-1)
+        best_labels = scores.argmax(axis=-1) + 1
+        std = decoded.get('batch_box_std_preds',
+                          jnp.zeros_like(decoded['batch_box_preds']))
+        return self._final_nms(post, decoded['batch_box_preds'][..., :7],
+                               best_scores, best_labels, std)
+
+    def _final_nms(self, post, boxes_all, best_scores, best_labels, std_all):
 
         nms_cfg = post.NMS_CONFIG
         use_voting = nms_cfg.NMS_TYPE in ('new_nms_gpu', 'variance_voting')
@@ -299,9 +441,7 @@ class Detector:
         score_thresh = float(post.get('SCORE_THRESH', 0.0))
         post_score_thresh = float(post.get('POST_SCORE_THRESH', 0.0))
 
-        def one_sample(scores_s, boxes_s, std_s):
-            best_scores = scores_s.max(axis=-1)
-            best_labels = scores_s.argmax(axis=-1) + 1
+        def one_sample(best_scores, best_labels, boxes_s, std_s):
             if use_voting:
                 boxes_wrapped = jnp.concatenate([
                     boxes_s[:, :6],
@@ -329,10 +469,8 @@ class Detector:
                 final_scores = jnp.where(keep, final_scores, 0.0)
             return final_boxes, final_scores, final_labels, valid
 
-        std = decoded.get('batch_box_std_preds',
-                          jnp.zeros_like(decoded['batch_box_preds']))
         fb, fs, fl, fv = jax.vmap(one_sample)(
-            scores, decoded['batch_box_preds'][..., :7], std)
+            best_scores, best_labels, boxes_all, std_all)
         return {'final_boxes': fb, 'final_scores': fs,
                 'final_labels': fl, 'final_valid': fv}
 

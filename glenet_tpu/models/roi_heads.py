@@ -1,0 +1,447 @@
+"""RoI refinement stack: proposal layer, roi target sampling, multi-scale
+grid pooling, and the VoxelRCNN(+KL-label) heads.
+
+Semantics per the reference:
+  - proposal_layer (roi_head_template.py:51-129): per-sample class-agnostic
+    NMS over dense-head decoded boxes -> fixed (num_rois) proposals.
+  - ProposalTargetLayer (proposal_target_layer.py:28-239): per sample match
+    rois to gts (same-class 3D IoU), subsample ROI_PER_IMAGE with
+    FG_RATIO (fg >= min(REG_FG, CLS_FG)), bg split hard/easy by
+    CLS_BG_THRESH_LO with HARD_BG_RATIO; roi-iou soft cls labels; carries
+    gt_uncertaintys_of_rois.
+  - canonical transform + heading flip (roi_head_template.py:130-161).
+  - VoxelRCNNKLLabelIoUHead (voxelrcnn_kl_label_iou_head.py:10-182):
+    shared/cls/reg FC stacks, reg_std branch (init std 1e-4) + BN-ReLU-FC-
+    BN-ReLU-FC-Sigmoid variance->confidence scalar multiplying sigmoid(cls)
+    then re-logit'd; KLD reg loss over fg rois + corner loss.
+
+TPU-native redesign of RoI grid pooling: the reference's voxel-query
+(pcdet/ops/pointnet2/pointnet2_stack voxel_query_gpu.cu) walks up to 9^3
+cells per grid point collecting <=16 neighbors — a scatter/walk pattern that
+doesn't map to the MXU/VPU.  Here each of the 6^3 grid points aggregates the
+8 ENCLOSING voxel corners of each feature map instead: per corner,
+h = mlp_in(feat) + mlp_pos(rel_xyz); pooled = max over corners; mlp_out —
+the same information flow (multi-scale neighborhood aggregation with
+position encoding and max pooling) with pure coordinate arithmetic: sorted-
+id binary search on sparse levels, direct index math on dense levels.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import iou3d, sparse
+from ..utils import common, losses
+
+_BIG = 1e9
+
+
+# ---------------------------------------------------------------------------
+# proposal target sampling (pure function, per sample, train only)
+# ---------------------------------------------------------------------------
+
+def sample_rois_single(rng, rois, roi_scores, roi_labels, gt_boxes, gt_mask,
+                       gt_unc, cfg):
+    """Subsample ROI_PER_IMAGE rois with fg/bg ratios (reference
+    proposal_target_layer.py:65-239).  Static shapes; rng for sampling.
+
+    Returns dict with rois (R, 7), gt_of_rois (R, 8), roi_ious (R,),
+    roi_labels (R,), gt_unc_of_rois (R, 7), and masks.
+    """
+    r = int(cfg.ROI_PER_IMAGE)
+    fg_per_image = int(round(cfg.FG_RATIO * r))
+    reg_fg_thresh = float(cfg.REG_FG_THRESH)
+    cls_fg_thresh = float(cfg.CLS_FG_THRESH)
+    cls_bg_thresh = float(cfg.CLS_BG_THRESH)
+    cls_bg_lo = float(cfg.CLS_BG_THRESH_LO)
+    hard_bg_ratio = float(cfg.HARD_BG_RATIO)
+    fg_thresh = min(reg_fg_thresh, cls_fg_thresh)
+
+    # same-class max IoU (SAMPLE_ROI_BY_EACH_CLASS)
+    iou = iou3d.boxes_iou3d(rois[:, :7], gt_boxes[:, :7])       # (N, M)
+    same_cls = roi_labels[:, None] == gt_boxes[None, :, 7].astype(jnp.int32)
+    iou = jnp.where(same_cls & gt_mask[None, :], iou, -1.0)
+    max_iou = jnp.clip(iou.max(axis=1), 0.0, None)
+    gt_assign = iou.argmax(axis=1)
+
+    # category masks
+    fg = max_iou >= fg_thresh
+    easy_bg = max_iou < cls_bg_lo
+    hard_bg = (max_iou < reg_fg_thresh) & (max_iou >= cls_bg_lo)
+
+    k_fg, k_hard, k_easy = jax.random.split(rng, 3)
+
+    def ranked_pick(mask, key, count):
+        """Random permutation of mask's True entries; returns (count,) idx +
+        validity. With replacement when fewer than count (reference uses
+        randint for bg)."""
+        n = mask.shape[0]
+        scores = jnp.where(mask, jax.random.uniform(key, (n,)), _BIG)
+        order = jnp.argsort(scores)[:count]
+        valid = mask[order]
+        return order, valid
+
+    n_fg_avail = fg.sum()
+    n_hard = hard_bg.sum()
+    n_easy = easy_bg.sum()
+
+    fg_idx, fg_valid = ranked_pick(fg, k_fg, fg_per_image)
+    n_fg = jnp.minimum(n_fg_avail, fg_per_image)
+    n_bg = r - n_fg
+
+    # bg: hard_num = min(n_bg * ratio, avail); easy fills the rest; when one
+    # pool is empty the other fills everything (sampled with replacement)
+    hard_want = jnp.where(n_easy > 0,
+                          jnp.minimum((n_bg * hard_bg_ratio).astype(jnp.int32),
+                                      n_hard),
+                          n_bg)
+    hard_want = jnp.where(n_hard > 0, hard_want, 0)
+    easy_want = n_bg - hard_want
+
+    def pick_with_replacement(mask, key, count_static):
+        n = mask.shape[0]
+        avail = jnp.clip(mask.sum(), 1, None)
+        idx_sorted = jnp.argsort(jnp.where(mask, 0, 1))          # True first
+        rnd = jax.random.randint(key, (count_static,), 0, 1_000_000) % avail
+        return idx_sorted[rnd]
+
+    hard_idx = pick_with_replacement(hard_bg, k_hard, r)
+    easy_idx = pick_with_replacement(easy_bg, k_easy, r)
+
+    # compose the final (R,) index list: [fg x n_fg, hard x hard_want,
+    # easy x easy_want] with static-shape masking
+    slots = jnp.arange(r)
+    take_fg = slots < n_fg
+    take_hard = (slots >= n_fg) & (slots < n_fg + hard_want)
+    sel = jnp.where(take_fg, fg_idx[jnp.clip(slots, 0, fg_per_image - 1)],
+                    jnp.where(take_hard, hard_idx[slots], easy_idx[slots]))
+    # degenerate: nothing available at all -> fall back to top-score rois
+    any_pool = (n_fg_avail + n_hard + n_easy) > 0
+    sel = jnp.where(any_pool, sel, slots % rois.shape[0])
+
+    out_rois = rois[sel]
+    out_iou = max_iou[sel]
+    out_labels = roi_labels[sel]
+    out_scores = roi_scores[sel]
+    gt_sel = gt_assign[sel]
+    out_gt = gt_boxes[gt_sel]
+    out_unc = gt_unc[gt_sel]
+
+    reg_valid = (out_iou > reg_fg_thresh).astype(jnp.int32)
+
+    # roi_iou soft labels (CLS_SCORE_TYPE: roi_iou)
+    fg_m = out_iou > cls_fg_thresh
+    bg_m = out_iou < cls_bg_thresh
+    interval = (~fg_m) & (~bg_m)
+    cls_labels = fg_m.astype(jnp.float32)
+    cls_labels = jnp.where(
+        interval,
+        (out_iou - cls_bg_thresh) / (cls_fg_thresh - cls_bg_thresh),
+        cls_labels)
+
+    return {
+        'rois': out_rois, 'gt_of_rois_src': out_gt, 'roi_ious': out_iou,
+        'roi_labels': out_labels, 'roi_scores': out_scores,
+        'gt_unc_of_rois': out_unc, 'reg_valid_mask': reg_valid,
+        'rcnn_cls_labels': cls_labels,
+    }
+
+
+def canonical_gt_of_rois(rois, gt_of_rois_src):
+    """Gt boxes in the roi canonical frame + heading flip into [-pi/2, pi/2]
+    (reference roi_head_template.py:138-160)."""
+    roi_center = rois[:, 0:3]
+    roi_ry = rois[:, 6] % (2 * np.pi)
+    gt = gt_of_rois_src[:, :7]
+    shifted = gt[:, 0:3] - roi_center
+    local = common.rotate_points_along_z(shifted[:, None, :], -roi_ry)[:, 0]
+    heading = (gt[:, 6] - roi_ry) % (2 * np.pi)
+    opposite = (heading > np.pi * 0.5) & (heading < np.pi * 1.5)
+    heading = jnp.where(opposite, (heading + np.pi) % (2 * np.pi), heading)
+    heading = jnp.where(heading > np.pi, heading - 2 * np.pi, heading)
+    heading = jnp.clip(heading, -np.pi / 2, np.pi / 2)
+    return jnp.concatenate([local, gt[:, 3:6], heading[:, None]], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# RoI grid pooling
+# ---------------------------------------------------------------------------
+
+def roi_grid_points(rois, grid_size: int):
+    """(R, 7) rois -> (R, G^3, 3) global grid point coords
+    (reference voxelrcnn_head.py:196-215)."""
+    g = grid_size
+    idx = np.stack(np.meshgrid(np.arange(g), np.arange(g), np.arange(g),
+                               indexing='ij'), axis=-1).reshape(-1, 3)
+    # reference uses nonzero() order of a ones-cube: x fastest via meshgrid?
+    # torch nonzero on (g,g,g) returns row-major (d0, d1, d2) == our 'ij'.
+    dense_idx = jnp.asarray(idx, jnp.float32)                    # (G^3, 3)
+    sizes = rois[:, 3:6]
+    local = (dense_idx[None] + 0.5) / g * sizes[:, None] - sizes[:, None] / 2
+    rotated = common.rotate_points_along_z(local, rois[:, 6])
+    return rotated + rois[:, None, 0:3]
+
+
+class CornerAggregation(nn.Module):
+    """Per-scale pooling: 8 enclosing voxel corners -> mlp_in + mlp_pos ->
+    relu -> max -> mlp_out.  (TPU-native analogue of
+    NeighborVoxelSAModuleMSG, voxel_pool_modules.py:8-130.)"""
+    mlp_mid: int
+    mlp_out: int
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, corner_feats, rel_xyz, corner_valid, train=True):
+        """corner_feats (Q, 8, C); rel_xyz (Q, 8, 3) metric offsets grid
+        point -> corner center; corner_valid (Q, 8)."""
+        from .layers import MaskedBatchNorm
+        h = nn.Dense(self.mlp_mid, use_bias=False, name='mlp_in')(corner_feats)
+        h = MaskedBatchNorm(axis_name=self.axis_name, name='bn_in')(
+            h, mask=corner_valid, use_running_average=not train)
+        p = nn.Dense(self.mlp_mid, use_bias=False, name='mlp_pos')(rel_xyz)
+        p = MaskedBatchNorm(axis_name=self.axis_name, name='bn_pos')(
+            p, mask=corner_valid, use_running_average=not train)
+        h = nn.relu(h + p)
+        h = jnp.where(corner_valid[..., None], h, 0.0)
+        pooled = h.max(axis=1)                                   # (Q, mid)
+        out = nn.Dense(self.mlp_out, use_bias=False, name='mlp_out')(pooled)
+        out = MaskedBatchNorm(axis_name=self.axis_name, name='bn_out')(
+            out, use_running_average=not train)
+        return nn.relu(out)
+
+
+_CORNER_OFFS = np.stack(np.meshgrid([0, 1], [0, 1], [0, 1],
+                                    indexing='ij'), -1).reshape(8, 3)
+
+
+def gather_corners_sparse(query_xyz, feats, ids, mask, grid, stride,
+                          voxel_size, pc_range):
+    """Corners from a sparse level: sorted-id binary search.
+
+    query_xyz (Q, 3) -> (feats (Q, 8, C), rel (Q, 8, 3), valid (Q, 8))."""
+    nx, ny, nz = grid
+    n_cells = nx * ny * nz
+    vs = jnp.asarray(voxel_size, jnp.float32) * stride
+    origin = jnp.asarray(pc_range[:3], jnp.float32)
+    # continuous voxel coords of the query, minus half (corner convention)
+    cont = (query_xyz - origin) / vs - 0.5
+    base = jnp.floor(cont).astype(jnp.int32)                     # (Q, 3) xyz
+    offs = jnp.asarray(_CORNER_OFFS, jnp.int32)                  # (8, 3) zyx? use xyz
+    cx = base[:, None, 0] + offs[None, :, 0]
+    cy = base[:, None, 1] + offs[None, :, 1]
+    cz = base[:, None, 2] + offs[None, :, 2]
+    valid = ((cx >= 0) & (cx < nx) & (cy >= 0) & (cy < ny)
+             & (cz >= 0) & (cz < nz))
+    tid = jnp.where(valid, cz * (ny * nx) + cy * nx + cx, n_cells)
+    v = ids.shape[0]
+    pos = jnp.clip(jnp.searchsorted(ids, tid.reshape(-1)), 0, v - 1)
+    found = (ids[pos] == tid.reshape(-1)) & (tid.reshape(-1) < n_cells)
+    pos = jnp.where(found, pos, v)
+    padded = jnp.concatenate(
+        [feats, jnp.zeros((1, feats.shape[1]), feats.dtype)], axis=0)
+    cf = padded[pos].reshape(*tid.shape, feats.shape[1])         # (Q, 8, C)
+    centers = (jnp.stack([cx, cy, cz], -1).astype(jnp.float32) + 0.5) * vs \
+        + origin
+    rel = centers - query_xyz[:, None, :]
+    return cf, rel, found.reshape(tid.shape) & valid
+
+
+def gather_corners_dense(query_xyz, dense_feats, occ, grid, stride,
+                         voxel_size, pc_range):
+    """Corners from a dense level (B-less, (D, H, W, C)): direct indexing."""
+    nx, ny, nz = grid
+    vs = jnp.asarray(voxel_size, jnp.float32) * stride
+    origin = jnp.asarray(pc_range[:3], jnp.float32)
+    cont = (query_xyz - origin) / vs - 0.5
+    base = jnp.floor(cont).astype(jnp.int32)
+    offs = jnp.asarray(_CORNER_OFFS, jnp.int32)
+    cx = base[:, None, 0] + offs[None, :, 0]
+    cy = base[:, None, 1] + offs[None, :, 1]
+    cz = base[:, None, 2] + offs[None, :, 2]
+    valid = ((cx >= 0) & (cx < nx) & (cy >= 0) & (cy < ny)
+             & (cz >= 0) & (cz < nz))
+    flat = jnp.where(valid, cz * (ny * nx) + cy * nx + cx, nz * ny * nx)
+    c = dense_feats.shape[-1]
+    padded = jnp.concatenate(
+        [dense_feats.reshape(-1, c), jnp.zeros((1, c), dense_feats.dtype)],
+        axis=0)
+    cf = padded[flat.reshape(-1)].reshape(*flat.shape, c)
+    occ_flat = jnp.concatenate([occ.reshape(-1), jnp.zeros((1,), bool)])
+    cv = occ_flat[flat.reshape(-1)].reshape(flat.shape)
+    centers = (jnp.stack([cx, cy, cz], -1).astype(jnp.float32) + 0.5) * vs \
+        + origin
+    rel = centers - query_xyz[:, None, :]
+    return cf, rel, valid & cv
+
+
+class VoxelRCNNHead(nn.Module):
+    """RoI refinement head (plain + KL-label-IoU variants).
+
+    model_cfg keys used: SHARED_FC, CLS_FC, REG_FC, DP_RATIO, ROI_GRID_POOL
+    (FEATURES_SOURCE, GRID_SIZE, POOL_LAYERS{src: MLPS}), plus `kl_label`
+    switch for the reg_std/confidence branches.
+    """
+    model_cfg: Any
+    voxel_size: tuple
+    pc_range: tuple
+    code_size: int = 7
+    kl_label: bool = True
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, rois, multi_scale, train: bool = True):
+        """rois: (B, R, 7); multi_scale: backbone dict.
+        Returns dict rcnn_cls (B*R, 1), rcnn_reg (B*R, C), rcnn_reg_std."""
+        from flax.core import unfreeze
+        from ..config import Cfg
+        from .layers import MaskedBatchNorm
+        mcfg = Cfg(unfreeze(self.model_cfg))  # linen froze the dict field
+        pool_cfg = mcfg.ROI_GRID_POOL
+        g = int(pool_cfg.GRID_SIZE)
+        b, r = rois.shape[:2]
+        flat_rois = rois.reshape(b * r, -1)
+        grid_pts = roi_grid_points(flat_rois, g)                 # (BR, G3, 3)
+        grid_pts = grid_pts.reshape(b, r * g ** 3, 3)
+
+        pooled = []
+        for src in pool_cfg.FEATURES_SOURCE:
+            level = multi_scale[src]
+            mlps = pool_cfg.POOL_LAYERS[src]['MLPS'][0]
+            stride = level['stride']
+            if level['kind'] == 'sparse':
+                gather = jax.vmap(functools.partial(
+                    gather_corners_sparse, grid=level['grid'], stride=stride,
+                    voxel_size=self.voxel_size, pc_range=self.pc_range))
+                cf, rel, cv = gather(grid_pts, level['features'],
+                                     level['ids'], level['mask'])
+            else:
+                gather = jax.vmap(functools.partial(
+                    gather_corners_dense, grid=level['grid'], stride=stride,
+                    voxel_size=self.voxel_size, pc_range=self.pc_range))
+                cf, rel, cv = gather(grid_pts, level['features'], level['occ'])
+            q = b * r * g ** 3
+            agg = CornerAggregation(
+                mlp_mid=mlps[0], mlp_out=mlps[1],
+                axis_name=self.axis_name, name=f'pool_{src}')(
+                cf.reshape(q, 8, -1), rel.reshape(q, 8, 3),
+                cv.reshape(q, 8), train=train)
+            pooled.append(agg)
+        feats = jnp.concatenate(pooled, axis=-1)                 # (Q, sumC)
+        feats = feats.reshape(b * r, g ** 3 * feats.shape[-1])
+
+        def fc_stack(x, sizes, name):
+            for i, s in enumerate(sizes):
+                x = nn.Dense(s, use_bias=False, name=f'{name}_{i}')(x)
+                x = MaskedBatchNorm(axis_name=self.axis_name,
+                                    name=f'{name}_bn{i}')(
+                    x, use_running_average=not train)
+                x = nn.relu(x)
+                if i == 0 and train and mcfg.get("DP_RATIO", 0) > 0:
+                    x = nn.Dropout(mcfg.DP_RATIO,
+                                   deterministic=not train)(x)
+            return x
+
+        shared = fc_stack(feats, mcfg.SHARED_FC, 'shared')
+        cls_feat = fc_stack(shared, mcfg.CLS_FC, 'cls_fc')
+        ori_cls = nn.Dense(1, name='cls_pred')(cls_feat)
+        reg_feat = fc_stack(shared, mcfg.REG_FC, 'reg_fc')
+        reg = nn.Dense(self.code_size, name='reg_pred',
+                       kernel_init=nn.initializers.normal(0.001))(reg_feat)
+        out = {'rcnn_cls': ori_cls, 'rcnn_reg': reg}
+
+        if self.kl_label:
+            reg_std = nn.Dense(self.code_size, name='reg_std',
+                               kernel_init=nn.initializers.normal(0.0001))(reg_feat)
+            # variance -> confidence scalar (voxelrcnn_kl_label_iou_head.py
+            # :14-73): BN - ReLU - FC(64) - BN - ReLU - FC(1) - sigmoid
+            h = MaskedBatchNorm(axis_name=self.axis_name, name='std_bn0')(
+                reg_std, use_running_average=not train)
+            h = nn.relu(h)
+            h = nn.Dense(64, name='std_fc1',
+                         kernel_init=nn.initializers.normal(0.0001))(h)
+            h = MaskedBatchNorm(axis_name=self.axis_name, name='std_bn1')(
+                h, use_running_average=not train)
+            h = nn.relu(h)
+            conf = jax.nn.sigmoid(nn.Dense(
+                1, name='std_fc2',
+                kernel_init=nn.initializers.normal(0.0001))(h))
+            p = jax.nn.sigmoid(ori_cls) * conf
+            out['rcnn_cls'] = jnp.log((p + 1e-6) / (1 - p + 1e-6))
+            out['rcnn_reg_std'] = reg_std
+        return out
+
+
+# ---------------------------------------------------------------------------
+# decode + losses (pure)
+# ---------------------------------------------------------------------------
+
+def decode_rcnn_boxes(rois, rcnn_reg, box_coder):
+    """rois (B, R, 7), rcnn_reg (B*R, C) -> (B, R, 7) global boxes
+    (reference template :288-316)."""
+    b, r = rois.shape[:2]
+    flat_rois = rois.reshape(b * r, -1)
+    local_rois = flat_rois.at[:, 0:3].set(0.0)
+    dec = box_coder.decode(rcnn_reg, local_rois[:, :box_coder.code_size])
+    rotated = common.rotate_points_along_z(dec[:, None, :], flat_rois[:, 6])[:, 0]
+    rotated = rotated.at[:, 0:3].add(flat_rois[:, 0:3])
+    return rotated.reshape(b, r, -1)
+
+
+def rcnn_cls_loss(rcnn_cls, rcnn_cls_labels):
+    """BCE on iou-derived soft labels (template :246-272)."""
+    logits = rcnn_cls.reshape(-1)
+    labels = rcnn_cls_labels.reshape(-1)
+    loss = losses.sigmoid_bce_with_logits(logits, labels)
+    valid = (labels >= 0).astype(jnp.float32)
+    return (loss * valid).sum() / jnp.clip(valid.sum(), 1.0, None)
+
+
+def rcnn_reg_loss(rcnn_reg, rcnn_reg_std, rois, gt_of_rois_ct,
+                  gt_of_rois_src, gt_unc_of_rois, reg_valid_mask, box_coder,
+                  loss_weights, kl_label=True, corner_weight=1.0,
+                  code_weights=None):
+    """KL (or plain smooth-L1) reg loss over fg rois + corner loss
+    (voxelrcnn_kl_label_iou_head.py:93-180 / roi_head_template :163-244)."""
+    b, r = rois.shape[:2]
+    n = b * r
+    flat_rois = rois.reshape(n, -1)[:, :box_coder.code_size]
+    rois_anchor = flat_rois.at[:, 0:3].set(0.0).at[:, 6].set(0.0)
+    reg_targets = box_coder.encode(gt_of_rois_ct.reshape(n, -1)[:, :7],
+                                   rois_anchor)
+    fg = reg_valid_mask.reshape(n) > 0
+    fg_sum = jnp.clip(fg.sum(), 1, None).astype(jnp.float32)
+    rcnn_reg = rcnn_reg.reshape(n, -1)
+
+    l1 = losses.weighted_smooth_l1(
+        rcnn_reg[None], reg_targets[None], code_weights=code_weights)[0]
+    w = loss_weights['rcnn_reg_weight']
+    metrics = {}
+    if kl_label:
+        s = jnp.clip(rcnn_reg_std.reshape(n, -1), -50.0, None)
+        t = jnp.log(gt_unc_of_rois.reshape(n, -1) + 1e-10)
+        fgf = fg[:, None].astype(jnp.float32)
+        src = (jnp.exp(-s) * l1 * fgf).sum() / fg_sum * w
+        square = (jnp.exp(t - s) * fgf).sum() / fg_sum * w
+        log_t = (-0.5 * (t - s) * fgf).sum() / fg_sum * w
+        reg_loss = src + square + log_t
+        metrics.update({'rcnn_loss_reg_src': src,
+                        'rcnn_loss_reg_square': square,
+                        'rcnn_loss_reg_log': log_t})
+    else:
+        reg_loss = (l1 * fg[:, None]).sum() / fg_sum * w
+
+    # corner loss on fg rois (masked; fg_sum-normalized mean)
+    local_anchor = flat_rois.at[:, 0:3].set(0.0)
+    dec = box_coder.decode(rcnn_reg, local_anchor)
+    dec = common.rotate_points_along_z(dec[:, None, :], flat_rois[:, 6])[:, 0]
+    dec = dec.at[:, 0:3].add(flat_rois[:, 0:3])
+    corner = losses.corner_loss_lidar(
+        dec[:, :7], gt_of_rois_src.reshape(n, -1)[:, :7])
+    corner = (corner * fg).sum() / fg_sum * corner_weight
+    metrics['rcnn_loss_corner'] = corner
+    return reg_loss + corner, metrics

@@ -38,10 +38,12 @@ def make_train_step(detector, tx):
     """Returns a pure (state, batch) -> (state, metrics) function."""
 
     def train_step(state: TrainState, batch):
+        step_rng = jax.random.fold_in(jax.random.PRNGKey(17), state.step)
+
         def loss_fn(params):
             variables = {'params': params, 'batch_stats': state.batch_stats}
             loss, (metrics, new_model_state) = detector.loss_fn(
-                variables, batch, train=True)
+                variables, batch, train=True, rng=step_rng)
             return loss, (metrics, new_model_state)
 
         grads, (metrics, new_model_state) = jax.grad(
