@@ -106,11 +106,15 @@ class DetectorNet(nn.Module):
         self._num_dir_bins = num_dir_bins
         self._dir_offset = head_cfg.get('DIR_OFFSET', 0.78539)
         self._dir_limit_offset = head_cfg.get('DIR_LIMIT_OFFSET', 0.0)
+        ta_cfg = head_cfg.get('TARGET_ASSIGNER_CONFIG', {}) or {}
         self._coder = box_coder_lib.build_box_coder(
-            head_cfg.TARGET_ASSIGNER_CONFIG.BOX_CODER,
-            **head_cfg.TARGET_ASSIGNER_CONFIG.get('BOX_CODER_CONFIG', {}))
-        self._anchor_set = anchors.generate_anchors(
-            head_cfg.ANCHOR_GENERATOR_CONFIG, self.grid_size, self.pc_range)
+            ta_cfg.get('BOX_CODER', 'ResidualCoder'),
+            **ta_cfg.get('BOX_CODER_CONFIG', {}))
+        self._anchor_set = (
+            anchors.generate_anchors(head_cfg.ANCHOR_GENERATOR_CONFIG,
+                                     self.grid_size, self.pc_range)
+            if head_cfg.get('ANCHOR_GENERATOR_CONFIG', None) is not None
+            else None)
 
         roi_cfg = mcfg.get('ROI_HEAD', None)
         if roi_cfg is not None:
@@ -135,6 +139,12 @@ class DetectorNet(nn.Module):
         elif head_cfg.NAME in ('AnchorHeadKLLabelIoU', 'AnchorHeadKLLabelIoUGuide'):
             self.dense_head = anchor_heads.AnchorHeadKLLabel(
                 with_iou_branch=True, **common_kwargs)
+        elif head_cfg.NAME == 'CenterHead':
+            from .center_head import CenterHead
+            self.dense_head = CenterHead(
+                num_class=self.num_class,
+                shared_ch=head_cfg.get('SHARED_CONV_CHANNEL', 64),
+                axis_name=self.axis_name)
         else:
             raise NotImplementedError(head_cfg.NAME)
 
@@ -253,12 +263,20 @@ class Detector:
         self.max_voxels = int(mv['train'] if isinstance(mv, dict) else mv)
 
         head_cfg = model_cfg.DENSE_HEAD
+        self.is_center_head = head_cfg.NAME == 'CenterHead'
+        coder_name = (head_cfg.get('TARGET_ASSIGNER_CONFIG', {}) or {}).get(
+            'BOX_CODER', 'ResidualCoder')
         self.box_coder = box_coder_lib.build_box_coder(
-            head_cfg.TARGET_ASSIGNER_CONFIG.BOX_CODER,
-            **head_cfg.TARGET_ASSIGNER_CONFIG.get('BOX_CODER_CONFIG', {}))
-        self.anchor_set = anchors.generate_anchors(
-            head_cfg.ANCHOR_GENERATOR_CONFIG, self.grid_size, self.pc_range)
-        self.match_height = head_cfg.TARGET_ASSIGNER_CONFIG.get('MATCH_HEIGHT', False)
+            coder_name,
+            **head_cfg.get('TARGET_ASSIGNER_CONFIG', {}).get(
+                'BOX_CODER_CONFIG', {}))
+        self.anchor_set = (
+            anchors.generate_anchors(head_cfg.ANCHOR_GENERATOR_CONFIG,
+                                     self.grid_size, self.pc_range)
+            if head_cfg.get('ANCHOR_GENERATOR_CONFIG', None) is not None
+            else None)
+        self.match_height = head_cfg.get('TARGET_ASSIGNER_CONFIG', {}).get(
+            'MATCH_HEIGHT', False)
         self.use_kl_loss = 'KLLabel' in head_cfg.NAME
         self.use_iou_branch = 'IoU' in head_cfg.NAME
         self.dir_offset = head_cfg.get('DIR_OFFSET', 0.78539)
@@ -274,7 +292,9 @@ class Detector:
             pc_range=self.pc_range, max_voxels=self.max_voxels,
             max_points_per_voxel=self.max_points_per_voxel,
             num_class=num_class,
-            num_anchors_per_location=self.anchor_set.num_anchors_per_location,
+            num_anchors_per_location=(
+                self.anchor_set.num_anchors_per_location
+                if self.anchor_set is not None else 0),
             code_size=self.box_coder.code_size,
             axis_name=axis_name)
 
@@ -307,6 +327,8 @@ class Detector:
 
     def compute_loss(self, full_out, batch):
         out = full_out['dense_head']
+        if self.is_center_head:
+            return self._center_loss(out, batch)
         targets = jax.vmap(
             lambda gb, gm, gu: target_assigner.assign_targets(
                 self.anchor_set, gb, gm, gu, self.box_coder,
@@ -383,6 +405,37 @@ class Detector:
         metrics['loss'] = total
         return total, metrics
 
+    def _center_loss(self, out, batch):
+        """CenterPoint loss: heatmap focal + L1 reg at gt cells
+        (center_head.py:226-251)."""
+        from . import center_head as ch
+        head_cfg = self.model_cfg.DENSE_HEAD
+        ta = head_cfg.TARGET_ASSIGNER_CONFIG
+        stride = int(ta.FEATURE_MAP_STRIDE)
+        hm_shape = out['hm'].shape                        # (B, H, W, C)
+        fmap_size = (hm_shape[2], hm_shape[1])            # (x, y)
+
+        heatmaps, tboxes, inds, masks = jax.vmap(
+            lambda gb, gm: ch.assign_targets_single(
+                gb, gm, self.num_class, fmap_size, stride,
+                self.voxel_size, self.pc_range,
+                gaussian_overlap=float(ta.get('GAUSSIAN_OVERLAP', 0.1)),
+                min_radius=int(ta.get('MIN_RADIUS', 2)))
+        )(batch['gt_boxes'], batch['gt_mask'])
+
+        lw = self.loss_weights
+        hm_pred = jnp.transpose(out['hm'], (0, 3, 1, 2))  # (B, C, H, W)
+        hm_loss = ch.centernet_focal_loss(hm_pred, heatmaps)
+        hm_loss = hm_loss * lw.get('cls_weight', 1.0)
+        reg_maps = jnp.concatenate(
+            [out['center'], out['center_z'], out['dim'], out['rot']], axis=-1)
+        reg_loss = ch.center_reg_loss(reg_maps, tboxes, inds,
+                                      masks.astype(jnp.float32))
+        reg_loss = reg_loss * lw.get('loc_weight', 2.0)
+        total = hm_loss + reg_loss
+        return total, {'loss': total, 'loss_cls': hm_loss,
+                       'loss_loc': reg_loss}
+
     # -- inference ----------------------------------------------------------
     def predict(self, variables, batch, post_cfg=None):
         """Forward + decode + per-sample NMS.  Returns fixed-shape dict:
@@ -410,6 +463,16 @@ class Detector:
                                    best_labels, std_all)
 
         out = full_out['dense_head']
+        if self.is_center_head:
+            from . import center_head as ch
+            head_cfg = self.model_cfg.DENSE_HEAD
+            stride = int(head_cfg.TARGET_ASSIGNER_CONFIG.FEATURE_MAP_STRIDE)
+            k = int(post.get('MAX_OBJ_PER_SAMPLE', 500))
+            boxes, scores, labels = ch.decode_center_boxes(
+                out, k, self.voxel_size, self.pc_range, stride,
+                score_thresh=float(post.get('SCORE_THRESH', 0.0)))
+            std = jnp.zeros_like(boxes)
+            return self._final_nms(post, boxes, scores, labels, std)
         decoded = anchor_heads.decode_predictions(
             out, jnp.asarray(self.anchor_set.flat_anchors), self.box_coder,
             dir_offset=self.dir_offset, dir_limit_offset=self.dir_limit_offset,

@@ -42,7 +42,14 @@ def parse_config():
 def eval_one_epoch(cfg, detector, variables, dataset, logger, batch_size=4,
                    result_dir=None):
     """Batched predict -> prediction dicts -> KITTI AP (reference
-    eval_utils.eval_one_epoch:22-121)."""
+    eval_utils.eval_one_epoch:22-121), with online recall telemetry
+    (detector3d_template.py:303-317)."""
+    from glenet_tpu.ops import iou3d as iou3d_ops
+    recall_thresh = list(cfg.MODEL.POST_PROCESSING.get(
+        'RECALL_THRESH_LIST', [0.3, 0.5, 0.7]))
+    recall = {t: 0 for t in recall_thresh}
+    total_gt = 0
+
     predict = jax.jit(lambda v, b: detector.predict(v, b))
     det_annos = []
     t0 = time.time()
@@ -56,9 +63,32 @@ def eval_one_epoch(cfg, detector, variables, dataset, logger, batch_size=4,
         n_real = min(batch_size, len(dataset) - n_frames)
         annos = dataset.generate_prediction_dicts(batch, preds)
         det_annos.extend(annos[:n_real])
+
+        # recall telemetry vs gt
+        for b in range(n_real):
+            gm = batch['gt_mask'][b]
+            gt = batch['gt_boxes'][b][gm][:, :7]
+            if len(gt) == 0:
+                continue
+            total_gt += len(gt)
+            fv = preds['final_valid'][b]
+            boxes = preds['final_boxes'][b][fv]
+            if len(boxes) == 0:
+                continue
+            iou = np.asarray(iou3d_ops.boxes_iou3d(
+                jnp.asarray(gt, jnp.float32),
+                jnp.asarray(boxes, jnp.float32)))
+            best = iou.max(axis=1)
+            for t in recall_thresh:
+                recall[t] += int((best > t).sum())
+
         n_frames += n_real
         if n_frames >= len(dataset):
             break
+    if total_gt > 0:
+        for t in recall_thresh:
+            logger.info(f'recall@{t}: {recall[t] / total_gt:.4f} '
+                        f'({recall[t]}/{total_gt})')
     sec_per_example = (time.time() - t0) / max(len(dataset), 1)
     logger.info(f'eval: {len(det_annos)} frames, '
                 f'{sec_per_example:.4f} s/frame '
