@@ -34,6 +34,9 @@ def parse_config():
     parser.add_argument('--output_dir', type=str, default=None)
     parser.add_argument('--eval_after_train', action='store_true')
     parser.add_argument('--max_steps_per_epoch', type=int, default=None)
+    parser.add_argument('--profile_steps', type=int, default=0,
+                        help='capture an xprof trace of N train steps to '
+                             '<output_dir>/profile')
     args = parser.parse_args()
 
     from glenet_tpu.config import cfg, cfg_from_list, cfg_from_yaml_file
@@ -101,17 +104,27 @@ def main():
 
     ts = jax.device_put(ts, mesh_lib.replicated(mesh))
     it = int(ts.step)
+    profiling = False
     for epoch in range(start_epoch, num_epochs):
         t_epoch = time.time()
         for step_i, batch in enumerate(
                 dataset.iter_batches(batch_size, seed=epoch)):
             if step_i >= steps_per_epoch:
                 break
+            # xprof capture window (skip compile step 0)
+            if args.profile_steps and it == 1 and not profiling:
+                jax.profiler.start_trace(str(output_dir / 'profile'))
+                profiling = True
             batch = {k: v for k, v in batch.items()
                      if isinstance(v, np.ndarray)}
             sharded = mesh_lib.shard_batch(batch, mesh)
             ts, metrics = train_step(ts, sharded)
             it += 1
+            if profiling and it > args.profile_steps:
+                jax.block_until_ready(metrics['loss'])
+                jax.profiler.stop_trace()
+                profiling = False
+                logger.info(f'xprof trace -> {output_dir}/profile')
             if step_i % 50 == 0:
                 logger.info(
                     f'epoch {epoch} it {it} '
