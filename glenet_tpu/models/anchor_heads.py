@@ -60,12 +60,17 @@ class AnchorHeadSingle(nn.Module):
 
 
 class AnchorHeadKLLabel(nn.Module):
-    """AnchorHeadSingle + log-variance branch (GLENet-S head)."""
+    """AnchorHeadSingle + optional log-variance / IoU branches.
+
+    with_std_branch + not with_iou_branch -> AnchorHeadKLLabel (GLENet-S);
+    both -> AnchorHeadKLLabelIoU (GLENet-C); iou only -> AnchorHeadIoU
+    (CIA-SSD, anchor_head_iou.py:10-222)."""
     num_class: int
     num_anchors_per_location: int
     code_size: int = 7
     num_dir_bins: int = 0
     with_iou_branch: bool = False
+    with_std_branch: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -74,13 +79,14 @@ class AnchorHeadKLLabel(nn.Module):
         cls = _head_conv(a * self.num_class, 'conv_cls', bias_init=cls_bias)(x)
         box = _head_conv(a * self.code_size, 'conv_box',
                          kernel_init=nn.initializers.normal(0.001))(x)
-        std = _head_conv(a * self.code_size, 'conv_box_std',
-                         kernel_init=nn.initializers.normal(0.0001))(x)
         out = {
             'cls_preds': cls.reshape(*x.shape[:3], a, self.num_class),
             'box_preds': box.reshape(*x.shape[:3], a, self.code_size),
-            'box_std_preds': std.reshape(*x.shape[:3], a, self.code_size),
         }
+        if self.with_std_branch:
+            std = _head_conv(a * self.code_size, 'conv_box_std',
+                             kernel_init=nn.initializers.normal(0.0001))(x)
+            out['box_std_preds'] = std.reshape(*x.shape[:3], a, self.code_size)
         if self.num_dir_bins > 0:
             d = _head_conv(a * self.num_dir_bins, 'conv_dir_cls')(x)
             out['dir_cls_preds'] = d.reshape(*x.shape[:3], a, self.num_dir_bins)
@@ -166,6 +172,41 @@ def reg_loss_kl_label(box_preds, box_std_preds, box_reg_targets,
         box_preds, box_std_preds, box_reg_targets, reg_weights,
         label_uncertainty, code_weights=code_weights)
     return total / batch_size, {k: v / batch_size for k, v in parts.items()}
+
+
+def reg_loss_kl(box_preds, box_std_preds, box_reg_targets, box_cls_labels,
+                code_weights=None):
+    """Predicted-variance KL loss without label variance:
+    exp(-s) * smoothL1 + 0.5 * s * w (anchor_head_kl.py:144-145)."""
+    batch_size = box_preds.shape[0]
+    positives = box_cls_labels > 0
+    reg_weights = positives.astype(jnp.float32)
+    reg_weights = reg_weights / jnp.clip(
+        positives.sum(axis=1, keepdims=True).astype(jnp.float32), 1.0, None)
+    preds_sin, targets_sin = losses.add_sin_difference(box_preds, box_reg_targets)
+    l1 = losses.weighted_smooth_l1(preds_sin, targets_sin, reg_weights,
+                                   code_weights=code_weights)
+    s = box_std_preds
+    loss = jnp.exp(-s) * l1 + 0.5 * s * reg_weights[..., None]
+    return loss.sum() / batch_size
+
+
+def reg_loss_odiou(box_preds, box_reg_targets, box_cls_labels, flat_anchors,
+                   box_coder):
+    """SE-SSD od-IoU regression loss on decoded boxes
+    (anchor_head_sessd.py:171-258)."""
+    batch_size = box_preds.shape[0]
+    positives = box_cls_labels > 0
+    reg_weights = positives.astype(jnp.float32)
+    reg_weights = reg_weights / jnp.clip(
+        positives.sum(axis=1, keepdims=True).astype(jnp.float32), 1.0, None)
+    anchors = jnp.broadcast_to(flat_anchors[None],
+                               (batch_size, *flat_anchors.shape))
+    pred_boxes = box_coder.decode(box_preds, anchors).reshape(-1, 7)
+    gt_boxes = jax.lax.stop_gradient(
+        box_coder.decode(box_reg_targets, anchors)).reshape(-1, 7)
+    return losses.odiou_3d_loss(gt_boxes, pred_boxes,
+                                reg_weights.reshape(-1), batch_size)
 
 
 def iou_branch_loss(iou_preds, box_preds, box_reg_targets, box_cls_labels,

@@ -139,6 +139,13 @@ class DetectorNet(nn.Module):
         elif head_cfg.NAME in ('AnchorHeadKLLabelIoU', 'AnchorHeadKLLabelIoUGuide'):
             self.dense_head = anchor_heads.AnchorHeadKLLabel(
                 with_iou_branch=True, **common_kwargs)
+        elif head_cfg.NAME == 'AnchorHeadKL':
+            self.dense_head = anchor_heads.AnchorHeadKLLabel(**common_kwargs)
+        elif head_cfg.NAME == 'AnchorHeadIoU':
+            self.dense_head = anchor_heads.AnchorHeadKLLabel(
+                with_iou_branch=True, with_std_branch=False, **common_kwargs)
+        elif head_cfg.NAME == 'AnchorHeadSessd':
+            self.dense_head = anchor_heads.AnchorHeadSingle(**common_kwargs)
         elif head_cfg.NAME == 'CenterHead':
             from .center_head import CenterHead
             self.dense_head = CenterHead(
@@ -218,6 +225,11 @@ class DetectorNet(nn.Module):
 
         rois, roi_scores, roi_labels, roi_valid = jax.vmap(one_sample)(
             decoded['batch_box_preds'][..., :7], best_scores, best_labels)
+        # proposals are detached (reference runs proposal_layer and
+        # assign_targets under no_grad, roi_head_template.py:51,131);
+        # differentiating through the NMS loop is both wrong and generates
+        # a backward program that faults the TPU
+        rois, roi_scores = jax.lax.stop_gradient((rois, roi_scores))
         out['proposals'] = {'rois': rois, 'roi_scores': roi_scores,
                             'roi_labels': roi_labels, 'roi_valid': roi_valid}
 
@@ -234,6 +246,7 @@ class DetectorNet(nn.Module):
             gt_ct = jax.vmap(roi_lib.canonical_gt_of_rois)(
                 targets['rois'], targets['gt_of_rois_src'])
             targets['gt_of_rois_ct'] = gt_ct
+            targets = jax.lax.stop_gradient(targets)
             out['roi_targets'] = targets
             roi_in = targets['rois']
         else:
@@ -278,6 +291,8 @@ class Detector:
         self.match_height = head_cfg.get('TARGET_ASSIGNER_CONFIG', {}).get(
             'MATCH_HEIGHT', False)
         self.use_kl_loss = 'KLLabel' in head_cfg.NAME
+        self.use_kl_nolabel = head_cfg.NAME == 'AnchorHeadKL'
+        self.use_odiou = head_cfg.NAME == 'AnchorHeadSessd'
         self.use_iou_branch = 'IoU' in head_cfg.NAME
         self.dir_offset = head_cfg.get('DIR_OFFSET', 0.78539)
         self.dir_limit_offset = head_cfg.get('DIR_LIMIT_OFFSET', 0.0)
@@ -351,6 +366,17 @@ class Detector:
                 targets.label_uncertainty, code_weights=self.code_weights)
             r_loss = r_loss * lw['loc_weight']
             metrics.update({k: v * lw['loc_weight'] for k, v in parts.items()})
+        elif self.use_kl_nolabel:
+            r_loss = anchor_heads.reg_loss_kl(
+                flat['box_preds'], flat['box_std_preds'],
+                targets.box_reg_targets, targets.box_cls_labels,
+                code_weights=self.code_weights) * lw['loc_weight']
+        elif self.use_odiou:
+            r_loss = anchor_heads.reg_loss_odiou(
+                flat['box_preds'], targets.box_reg_targets,
+                targets.box_cls_labels,
+                jnp.asarray(self.anchor_set.flat_anchors),
+                self.box_coder) * lw['loc_weight']
         else:
             r_loss = anchor_heads.reg_loss_smooth_l1(
                 flat['box_preds'], targets.box_reg_targets,

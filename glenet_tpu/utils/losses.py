@@ -94,6 +94,48 @@ def corner_loss_lidar(pred_boxes, gt_boxes, mask=None):
     return loss
 
 
+def odiou_3d_loss(gboxes, qboxes, weights, batch_size):
+    """SE-SSD differentiable orientation-distance IoU loss.
+
+    odiou = 1 - IoU3D + d_center^2 / mbr_diag3d^2 + 1.25 (1 - |cos dtheta|);
+    loss = 2 * sum(odiou * weights) / batch_size.
+    Reference: pcdet/utils/loss_utils.py odiou_3D (:1110-1190) — the
+    convex-hull autograd pipeline is replaced by our differentiable
+    dense-candidate rotated overlap (ops/iou3d).
+
+    Args: gboxes, qboxes (N, 7) row-aligned; weights (N,).
+    """
+    from ..ops import iou3d
+    g = jnp.clip(gboxes, -200.0, 200.0)
+    q = jnp.clip(qboxes, -200.0, 200.0)
+    valid = ((g[:, 3:6] > 0).all(axis=1) & (q[:, 3:6] > 0).all(axis=1))
+
+    angle_factor = 1.25 * (1.0 - jnp.abs(jnp.cos(q[:, 6] - g[:, 6])))
+
+    cg = iou3d.box_to_bev_corners(g)                      # (N, 4, 2)
+    cq = iou3d.box_to_bev_corners(q)
+    inter_area = iou3d.overlap_bev_corners(cg, cq)
+    inter_h = jnp.clip(
+        jnp.minimum(g[:, 2] + g[:, 5] / 2, q[:, 2] + q[:, 5] / 2)
+        - jnp.maximum(g[:, 2] - g[:, 5] / 2, q[:, 2] - q[:, 5] / 2), 0, None)
+    vol_inc = inter_area * inter_h
+    vol_union = (g[:, 3] * g[:, 4] * g[:, 5] + q[:, 3] * q[:, 4] * q[:, 5]
+                 - vol_inc)
+    ious = vol_inc / jnp.clip(vol_union, 1e-7, None)
+
+    # minimum (axis-aligned) bounding rectangle of both corner sets
+    all_corners = jnp.concatenate([cg, cq], axis=1)       # (N, 8, 2)
+    mbr_min = all_corners.min(axis=1)
+    mbr_max = all_corners.max(axis=1)
+    mbr_diag_bev_sq = ((mbr_max - mbr_min) ** 2).sum(axis=1)
+    mbr_diag_3d_sq = mbr_diag_bev_sq + inter_h ** 2 + 1e-7
+    d_center_sq = ((g[:, 0:3] - q[:, 0:3]) ** 2).sum(axis=1)
+
+    odious = 1.0 - ious + d_center_sq / mbr_diag_3d_sq + angle_factor
+    odious = jnp.where(valid, odious, 0.0)
+    return 2.0 * (odious * weights).sum() / batch_size
+
+
 def add_sin_difference(boxes1, boxes2, dim: int = 6):
     """Encode heading residual via sin(a-b) = sin a cos b - cos a sin b.
 

@@ -130,3 +130,13 @@ def test_glenet_s_kl_head_trains_and_predicts(rng):
     preds = jax.jit(lambda v, b: det.predict(v, b))(variables, batch)
     assert preds['final_boxes'].shape == (2, 16, 7)
     assert np.isfinite(np.asarray(preds['final_boxes'])).all()
+
+
+@pytest.mark.parametrize('head_name', ['AnchorHeadKL', 'AnchorHeadIoU',
+                                       'AnchorHeadSessd'])
+def test_head_variants_train(rng, head_name):
+    cfg = copy.deepcopy(TINY_SECOND)
+    cfg.MODEL.DENSE_HEAD.NAME = head_name
+    batch = make_batch(rng)
+    det, variables, losses_seq, _ = _train_steps(cfg, batch, n_steps=3)
+    assert np.isfinite(losses_seq).all(), (head_name, losses_seq)
