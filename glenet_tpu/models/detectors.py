@@ -53,8 +53,10 @@ class DetectorNet(nn.Module):
         from flax.core import unfreeze
         from ..config import Cfg
         mcfg = Cfg(unfreeze(self.model_cfg))
-        vfe_cfg = mcfg.VFE
-        if vfe_cfg.NAME == 'PillarVFE':
+        vfe_cfg = mcfg.get('VFE', None)
+        if vfe_cfg is None:
+            self.vfe = None
+        elif vfe_cfg.NAME == 'PillarVFE':
             self.vfe = PillarVFE(
                 num_filters=tuple(vfe_cfg.NUM_FILTERS),
                 voxel_size=self.voxel_size,
@@ -69,14 +71,50 @@ class DetectorNet(nn.Module):
             raise NotImplementedError(vfe_cfg.NAME)
 
         self.backbone_3d = None
+        self._is_point_based = False
         bb3d_cfg = mcfg.get('BACKBONE_3D', None)
-        if bb3d_cfg is not None:
+        if bb3d_cfg is not None and bb3d_cfg.NAME == 'PointNet2MSG':
+            from .pointnet2_backbone import PointNet2MSG
+            self._is_point_based = True
+            sa = bb3d_cfg.get('SA_CONFIG', {})
+            kwargs = {}
+            if sa:
+                kwargs = dict(
+                    sa_npoints=tuple(sa.NPOINTS),
+                    sa_radii=tuple(tuple(r) for r in sa.RADIUS),
+                    sa_nsamples=tuple(tuple(s) for s in sa.NSAMPLE),
+                    sa_mlps=tuple(tuple(tuple(m) for m in lv)
+                                  for lv in sa.MLPS))
+            if bb3d_cfg.get('FP_MLPS', None) is not None:
+                kwargs['fp_mlps'] = tuple(tuple(m) for m in bb3d_cfg.FP_MLPS)
+            self.backbone_3d = PointNet2MSG(axis_name=self.axis_name, **kwargs)
+        elif bb3d_cfg is not None:
             from .spconv_backbone import build_backbone_3d
             self.backbone_3d = build_backbone_3d(
                 bb3d_cfg, grid_size=self.grid_size,
                 max_voxels=self.max_voxels, axis_name=self.axis_name)
 
-        m2b = mcfg.MAP_TO_BEV
+        self.point_head = None
+        ph_cfg = mcfg.get('POINT_HEAD', None)
+        if ph_cfg is not None:
+            from .point_heads import PointHeadBox
+            pt_coder = box_coder_lib.build_box_coder(
+                ph_cfg.TARGET_CONFIG.BOX_CODER,
+                **ph_cfg.TARGET_CONFIG.get('BOX_CODER_CONFIG', {}))
+            self._pt_coder = pt_coder
+            self.point_head = PointHeadBox(
+                num_class=self.num_class, code_size=pt_coder.code_size,
+                cls_fc=tuple(ph_cfg.CLS_FC), reg_fc=tuple(ph_cfg.REG_FC),
+                axis_name=self.axis_name)
+        if self._is_point_based:
+            # point topology has no BEV stages
+            self.map_to_bev_name = None
+            self.dense_head = None
+            self.roi_head = None
+            self._mcfg = mcfg
+            return
+
+        m2b = mcfg.MAP_TO_BEV  # (voxel topologies only; point path returned)
         if m2b.NAME == 'PointPillarScatter':
             self.map_to_bev = PointPillarScatter(grid_size=self.grid_size)
         elif m2b.NAME == 'HeightCompression':
@@ -160,6 +198,13 @@ class DetectorNet(nn.Module):
         """points: (B, P, C), points_mask: (B, P) -> output dict with dense
         head outputs (and, for two-stage models, roi outputs + sampled-roi
         targets when training)."""
+        if self._is_point_based:
+            feats = self.backbone_3d(points, points_mask, train=train)
+            head_out = self.point_head(feats, points_mask, train=train)
+            head_out['point_xyz'] = points[..., :3]
+            head_out['point_mask'] = points_mask
+            return {'point_head': head_out}
+
         voxelize_fn = functools.partial(
             vox_ops.voxelize,
             voxel_size=tuple(self.voxel_size), pc_range=tuple(self.pc_range),
@@ -275,7 +320,19 @@ class Detector:
         mv = vox_cfg.MAX_NUMBER_OF_VOXELS
         self.max_voxels = int(mv['train'] if isinstance(mv, dict) else mv)
 
-        head_cfg = model_cfg.DENSE_HEAD
+        ph_cfg = model_cfg.get('POINT_HEAD', None)
+        self.point_coder = None
+        if ph_cfg is not None:
+            self.point_coder = box_coder_lib.build_box_coder(
+                ph_cfg.TARGET_CONFIG.BOX_CODER,
+                **ph_cfg.TARGET_CONFIG.get('BOX_CODER_CONFIG', {}))
+        head_cfg = model_cfg.get('DENSE_HEAD', None)
+        if head_cfg is None:  # point-topology models have no dense head
+            from ..config import Cfg
+            head_cfg = Cfg({
+                'NAME': 'PointHeadBox',
+                'TARGET_ASSIGNER_CONFIG': {'BOX_CODER': 'ResidualCoder'},
+                'LOSS_CONFIG': {'LOSS_WEIGHTS': {}}})
         self.is_center_head = head_cfg.NAME == 'CenterHead'
         coder_name = (head_cfg.get('TARGET_ASSIGNER_CONFIG', {}) or {}).get(
             'BOX_CODER', 'ResidualCoder')
@@ -341,6 +398,8 @@ class Detector:
         return loss, (metrics, new_state)
 
     def compute_loss(self, full_out, batch):
+        if 'point_head' in full_out:
+            return self._point_loss(full_out['point_head'], batch)
         out = full_out['dense_head']
         if self.is_center_head:
             return self._center_loss(out, batch)
@@ -431,6 +490,32 @@ class Detector:
         metrics['loss'] = total
         return total, metrics
 
+    def _point_loss(self, out, batch):
+        """PointHeadBox loss (point_head_box.py / point_head_template.py)."""
+        from . import point_heads as ph
+        ph_cfg = self.model_cfg.POINT_HEAD
+        extra = tuple(ph_cfg.TARGET_CONFIG.get('GT_EXTRA_WIDTH',
+                                               [0.2, 0.2, 0.2]))
+        lw = ph_cfg.get('LOSS_CONFIG', {}).get('LOSS_WEIGHTS', {})
+        cls_l, tgt, fg = jax.vmap(
+            lambda px, pm, gb, gm: ph.assign_point_targets(
+                px, pm, gb, gm, self.point_coder, extra_width=extra)
+        )(out['point_xyz'], out['point_mask'], batch['gt_boxes'],
+          batch['gt_mask'])
+
+        flat_out = {
+            'point_cls_preds': out['point_cls_preds'].reshape(
+                -1, out['point_cls_preds'].shape[-1]),
+            'point_box_preds': out['point_box_preds'].reshape(
+                -1, out['point_box_preds'].shape[-1]),
+        }
+        cls_loss, reg_loss = ph.point_head_loss(
+            flat_out, cls_l.reshape(-1), tgt.reshape(-1, tgt.shape[-1]),
+            fg.reshape(-1), self.num_class, lw)
+        total = cls_loss + reg_loss
+        return total, {'loss': total, 'loss_cls': cls_loss,
+                       'loss_loc': reg_loss}
+
     def _center_loss(self, out, batch):
         """CenterPoint loss: heatmap focal + L1 reg at gt cells
         (center_head.py:226-251)."""
@@ -470,6 +555,18 @@ class Detector:
         post = post_cfg if post_cfg is not None else self.model_cfg.POST_PROCESSING
         full_out = self.net.apply(
             variables, batch['points'], batch['points_mask'], train=False)
+
+        if 'point_head' in full_out:
+            out = full_out['point_head']
+            cls = jax.nn.sigmoid(out['point_cls_preds'])       # (B, N, C)
+            cls = jnp.where(out['point_mask'][..., None], cls, 0.0)
+            best_scores = cls.max(axis=-1)
+            best_labels = cls.argmax(axis=-1) + 1
+            boxes = jax.vmap(
+                lambda enc, xyz, lab: self.point_coder.decode(enc, xyz, lab)
+            )(out['point_box_preds'], out['point_xyz'], best_labels)
+            std = jnp.zeros_like(boxes)
+            return self._final_nms(post, boxes, best_scores, best_labels, std)
 
         if 'rcnn' in full_out:
             from . import roi_heads as roi_lib

@@ -325,11 +325,15 @@ class VoxelRCNNHead(nn.Module):
                     voxel_size=self.voxel_size, pc_range=self.pc_range))
                 cf, rel, cv = gather(grid_pts, level['features'], level['occ'])
             q = b * r * g ** 3
-            agg = CornerAggregation(
+            # remat: recompute the aggregation in the backward instead of
+            # saving fused residuals (also sidesteps a TPU backward-fusion
+            # fault observed when the full pooled graph is differentiated)
+            AggRemat = nn.remat(CornerAggregation, static_argnums=(4,))
+            agg = AggRemat(
                 mlp_mid=mlps[0], mlp_out=mlps[1],
                 axis_name=self.axis_name, name=f'pool_{src}')(
                 cf.reshape(q, 8, -1), rel.reshape(q, 8, 3),
-                cv.reshape(q, 8), train=train)
+                cv.reshape(q, 8), train)
             pooled.append(agg)
         feats = jnp.concatenate(pooled, axis=-1)                 # (Q, sumC)
         feats = feats.reshape(b * r, g ** 3 * feats.shape[-1])

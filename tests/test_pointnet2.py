@@ -64,3 +64,27 @@ def test_three_nn_matches_numpy(rng):
     want_idx = np.argsort(d, axis=1)[:, :3]
     np.testing.assert_array_equal(np.sort(np.asarray(idx), 1),
                                   np.sort(want_idx, 1))
+
+
+def test_pointnet2_msg_backbone_shapes(rng):
+    """Tiny PointNet2MSG forward: per-point features come back at full
+    resolution with finite values."""
+    import jax
+    from glenet_tpu.models.pointnet2_backbone import PointNet2MSG
+    n = 512
+    pts = rng.uniform(-5, 5, (n, 4)).astype(np.float32)
+    mask = np.ones(n, bool)
+    mask[-50:] = False
+    bb = PointNet2MSG(
+        sa_npoints=(128, 32, 16, 8),
+        sa_radii=((0.5, 1.0),) * 4,
+        sa_nsamples=((8, 16),) * 4,
+        sa_mlps=(((8, 8), (8, 8)), ((8, 16), (8, 16)),
+                 ((16, 16), (16, 16)), ((16, 32), (16, 32))),
+        fp_mlps=((16, 16), (16, 16), (32, 32), (32, 32)))
+    bpts = jnp.asarray(pts)[None]
+    bmask = jnp.asarray(mask)[None]
+    variables = bb.init(jax.random.PRNGKey(0), bpts, bmask, train=False)
+    out = bb.apply(variables, bpts, bmask, train=False)
+    assert out.shape == (1, n, 16)
+    assert np.isfinite(np.asarray(out)).all()
