@@ -310,7 +310,12 @@ class VoxelRCNNHead(nn.Module):
 
         pooled = []
         for src in pool_cfg.FEATURES_SOURCE:
-            level = multi_scale[src]
+            level = dict(multi_scale[src])
+            # fusion barrier between the backbone outputs and the corner
+            # gathers (scatter-add backward); see PERF_NOTES.md on the TPU
+            # backward fault under investigation
+            level['features'] = jax.lax.optimization_barrier(
+                level['features'])
             mlps = pool_cfg.POOL_LAYERS[src]['MLPS'][0]
             stride = level['stride']
             if level['kind'] == 'sparse':
