@@ -140,3 +140,25 @@ def test_head_variants_train(rng, head_name):
     batch = make_batch(rng)
     det, variables, losses_seq, _ = _train_steps(cfg, batch, n_steps=3)
     assert np.isfinite(losses_seq).all(), (head_name, losses_seq)
+
+
+def test_glenet_c_ciassd_ssfa_trains(rng):
+    """GLENet-C path: VoxelBackBone8xCiassd + SSFA + AnchorHeadKLLabelIoU."""
+    cfg = copy.deepcopy(TINY_SECOND)
+    cfg.MODEL.BACKBONE_3D.NAME = 'VoxelBackBone8xCiassd'
+    cfg.MODEL.BACKBONE_2D = Cfg({'NAME': 'SSFA'})
+    cfg.MODEL.DENSE_HEAD.NAME = 'AnchorHeadKLLabelIoU'
+    cfg.MODEL.DENSE_HEAD.PRE_CLS_THRESH = 0.0
+    cfg.MODEL.DENSE_HEAD.PRE_IOU_THRESH = 0.0
+    cfg.MODEL.DENSE_HEAD.POW = 4
+    cfg.MODEL.DENSE_HEAD.TARGET_ASSIGNER_CONFIG.NAME = \
+        'WeightedAxisAlignedTargetAssigner'
+    cfg.MODEL.POST_PROCESSING.NMS_CONFIG.NMS_TYPE = 'new_nms_gpu'
+
+    batch = make_batch(rng)
+    det, variables, losses_seq, metrics = _train_steps(cfg, batch, n_steps=3)
+    assert np.isfinite(losses_seq).all(), losses_seq
+    assert 'loss_iou' in metrics
+
+    preds = jax.jit(lambda v, b: det.predict(v, b))(variables, batch)
+    assert np.isfinite(np.asarray(preds['final_boxes'])).all()
