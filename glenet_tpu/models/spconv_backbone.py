@@ -99,6 +99,7 @@ class DenseConvBN(nn.Module):
     stride: tuple = (1, 1, 1)
     padding: tuple = (1, 1, 1)
     submanifold: bool = True
+    use_relu: bool = True
     axis_name: Optional[str] = None
 
     @nn.compact
@@ -127,7 +128,8 @@ class DenseConvBN(nn.Module):
             new_occ = occ_out[..., 0] > 0
         out = MaskedBatchNorm(axis_name=self.axis_name)(
             out, mask=new_occ, use_running_average=not train)
-        out = nn.relu(out)
+        if self.use_relu:
+            out = nn.relu(out)
         out = jnp.where(new_occ[..., None], out, 0.0)
         return out, new_occ
 
@@ -141,9 +143,10 @@ class VoxelBackBone8x(nn.Module):
     """
     grid_size: tuple
     max_voxels: int
-    subm_per_block: tuple = (2, 2, 2)   # Ciassd: (2, 3, 3)
+    subm_per_block: tuple = (2, 2, 2)   # Ciassd: (2, 3, 3); Res: 2 blocks
     out_channels: int = 128             # Ciassd: 64
-    channels: tuple = (16, 32, 64, 64)
+    channels: tuple = (16, 32, 64, 64)  # Res: (16, 32, 64, 128)
+    residual: bool = False              # VoxelResBackBone8x: SparseBasicBlock
     dense_from: int = 3
     axis_name: Optional[str] = None
 
@@ -178,10 +181,39 @@ class VoxelBackBone8x(nn.Module):
         # --- level 1: conv_input + conv1 (shared subm neighbor table) ------
         nbr1 = jax.vmap(
             lambda i, m: sparse.subm_neighbor_table(i, m, grid1, 3))(ids, mask)
+        def subm_unit(x, ch, nbr, m, name):
+            """Plain subm conv-BN-ReLU, or a residual SparseBasicBlock
+            (spconv_backbone.py:36-66) when self.residual."""
+            if not self.residual:
+                return SubMConvBN(ch, axis_name=self.axis_name,
+                                  name=name)(x, nbr, m, train=train)
+            h = SubMConvBN(ch, axis_name=self.axis_name,
+                           name=f'{name}a')(x, nbr, m, train=train)
+            h = SubMConvBN(ch, axis_name=self.axis_name, use_relu=False,
+                           name=f'{name}b')(h, nbr, m, train=train)
+            out = nn.relu(h + x)
+            return jnp.where(m[..., None], out, 0.0)
+
+        def dense_unit(x, occ, ch, name):
+            if not self.residual:
+                return DenseConvBN(ch, 3, 1, 1, submanifold=True,
+                                   axis_name=self.axis_name,
+                                   name=name)(x, occ, train=train)
+            # residual basic block
+            h, _ = DenseConvBN(ch, 3, 1, 1, submanifold=True,
+                               axis_name=self.axis_name,
+                               name=f'{name}a')(x, occ, train=train)
+            h, _ = DenseConvBN(ch, 3, 1, 1, submanifold=True, use_relu=False,
+                               axis_name=self.axis_name,
+                               name=f'{name}b')(h, occ, train=train)
+            out = nn.relu(h + x)
+            return jnp.where(occ[..., None], out, 0.0), occ
+
         x = SubMConvBN(c1, axis_name=self.axis_name, name='conv_input')(
             feats, nbr1, mask, train=train)
-        x = SubMConvBN(c1, axis_name=self.axis_name, name='conv1_0')(
-            x, nbr1, mask, train=train)
+        x = subm_unit(x, c1, nbr1, mask, 'conv1_0')
+        if self.residual:
+            x = subm_unit(x, c1, nbr1, mask, 'conv1_1')
         ms['x_conv1'] = {'kind': 'sparse', 'features': x, 'ids': ids,
                          'mask': mask, 'grid': grid1, 'stride': 1}
 
@@ -192,8 +224,7 @@ class VoxelBackBone8x(nn.Module):
         nbr2 = jax.vmap(
             lambda i, m: sparse.subm_neighbor_table(i, m, grid2, 3))(ids2, mask2)
         for j in range(self.subm_per_block[0]):
-            x = SubMConvBN(c2, axis_name=self.axis_name,
-                           name=f'conv2_{j}')(x, nbr2, mask2, train=train)
+            x = subm_unit(x, c2, nbr2, mask2, f'conv2_{j}')
         ms['x_conv2'] = {'kind': 'sparse', 'features': x, 'ids': ids2,
                          'mask': mask2, 'grid': grid2, 'stride': 2}
 
@@ -211,9 +242,7 @@ class VoxelBackBone8x(nn.Module):
             ids3, mask3)[..., 0] > 0
 
         for j in range(self.subm_per_block[1]):
-            xd, occ = DenseConvBN(c3, 3, 1, 1, submanifold=True,
-                                  axis_name=self.axis_name,
-                                  name=f'conv3_{j}')(xd, occ, train=train)
+            xd, occ = dense_unit(xd, occ, c3, f'conv3_{j}')
         ms['x_conv3'] = {'kind': 'dense', 'features': xd, 'occ': occ,
                          'grid': grid3, 'stride': 4}
 
@@ -222,9 +251,7 @@ class VoxelBackBone8x(nn.Module):
                               axis_name=self.axis_name,
                               name='conv4_down')(xd, occ, train=train)
         for j in range(self.subm_per_block[2]):
-            xd, occ = DenseConvBN(c4, 3, 1, 1, submanifold=True,
-                                  axis_name=self.axis_name,
-                                  name=f'conv4_{j}')(xd, occ, train=train)
+            xd, occ = dense_unit(xd, occ, c4, f'conv4_{j}')
         grid4 = sparse.out_grid_size(grid3, 3, 2, (0, 1, 1))
         ms['x_conv4'] = {'kind': 'dense', 'features': xd, 'occ': occ,
                          'grid': grid4, 'stride': 8}
@@ -248,6 +275,11 @@ def build_backbone_3d(bb3d_cfg, grid_size, max_voxels, axis_name=None):
     if name == 'VoxelBackBone8x':
         return VoxelBackBone8x(grid_size=tuple(grid_size),
                                max_voxels=max_voxels, axis_name=axis_name)
+    if name == 'VoxelResBackBone8x':
+        return VoxelBackBone8x(grid_size=tuple(grid_size),
+                               max_voxels=max_voxels, residual=True,
+                               channels=(16, 32, 64, 128),
+                               axis_name=axis_name)
     if name == 'VoxelBackBone8xCiassd':
         return VoxelBackBone8x(grid_size=tuple(grid_size),
                                max_voxels=max_voxels,

@@ -125,9 +125,32 @@ class PointResidualCoder:
         return jnp.stack([xg, yg, zg, dxg, dyg, dzg, rg], axis=-1)
 
 
+@dataclasses.dataclass(frozen=True)
+class PreviousResidualDecoder:
+    """Legacy decoder (reference box_coder_utils.py:80-112): same residual
+    decode as ResidualCoder but sizes are direct w/l/h residual-exponents —
+    used when loading SECOND-v1-era models."""
+    code_size: int = 7
+
+    @staticmethod
+    def decode(box_encodings, anchors):
+        xa, ya, za, dxa, dya, dza, ra = [anchors[..., i] for i in range(7)]
+        xt, yt, zt, wt, lt, ht, rt = [box_encodings[..., i] for i in range(7)]
+        diagonal = jnp.sqrt(dxa ** 2 + dya ** 2)
+        xg = xt * diagonal + xa
+        yg = yt * diagonal + ya
+        zg = zt * dza + za
+        dxg = jnp.exp(lt) * dxa
+        dyg = jnp.exp(wt) * dya
+        dzg = jnp.exp(ht) * dza
+        rg = rt + ra
+        return jnp.stack([xg, yg, zg, dxg, dyg, dzg, rg], axis=-1)
+
+
 _CODERS = {
     'ResidualCoder': ResidualCoder,
     'PointResidualCoder': PointResidualCoder,
+    'PreviousResidualDecoder': PreviousResidualDecoder,
 }
 
 

@@ -170,3 +170,31 @@ def test_backbone_shapes(rng):
     assert out['num_bev_features'] == out['bev_features'].shape[-1]
     assert np.isfinite(np.asarray(out['bev_features'])).all()
     assert set(out['multi_scale']) == {'x_conv1', 'x_conv2', 'x_conv3', 'x_conv4'}
+
+
+def test_res_backbone_shapes(rng):
+    """VoxelResBackBone8x (residual basic blocks) forward."""
+    from glenet_tpu.models.spconv_backbone import VoxelBackBone8x
+    grid = (32, 32, 24)
+    cap = 256
+    bb = VoxelBackBone8x(grid_size=grid, max_voxels=cap, residual=True,
+                         channels=(16, 32, 64, 128))
+    nx, ny, nzs = grid[0], grid[1], grid[2] + 1
+    n_cells = nx * ny * nzs
+    rngs = np.random.RandomState(1)
+    cells = np.sort(rngs.choice(n_cells, 200, replace=False))
+    ids = np.full((cap,), n_cells, np.int64)
+    ids[:200] = cells
+    z, r = np.divmod(ids, ny * nx)
+    y, x = np.divmod(r, nx)
+    coords = np.stack([z, y, x], 1).astype(np.int32)
+    mask = np.zeros((cap,), bool)
+    mask[:200] = True
+    feats = rngs.randn(cap, 4).astype(np.float32)
+    batch = lambda a: jnp.asarray(a)[None]
+    variables = bb.init(jax.random.PRNGKey(0), batch(feats), batch(coords),
+                        batch(mask), train=False)
+    out = bb.apply(variables, batch(feats), batch(coords), batch(mask),
+                   train=False)
+    assert out['multi_scale']['x_conv4']['features'].shape[-1] == 128
+    assert np.isfinite(np.asarray(out['bev_features'])).all()
