@@ -101,6 +101,36 @@ def nms_normal(boxes, scores, iou_threshold, pre_max: int = 4096,
     return order[keep_idx], keep_valid
 
 
+@partial(jax.jit, static_argnames=('num_class', 'pre_max', 'post_max'))
+def multi_classes_nms(boxes, cls_scores, iou_threshold, num_class: int,
+                      pre_max: int = 1024, post_max: int = 128,
+                      score_threshold: float = 0.0):
+    """Per-class NMS (reference model_nms_utils.multi_classes_nms :66-104):
+    run class-k NMS over all boxes scored by class k, then merge the
+    per-class keeps by score into fixed slots.
+
+    Args: boxes (N, 7); cls_scores (N, num_class).
+    Returns: keep_idx (num_class*post_max,), keep_valid, keep_labels
+    (1-based), keep_scores — sorted by score descending.
+    """
+    all_idx, all_valid, all_scores, all_labels = [], [], [], []
+    for k in range(num_class):
+        sk = cls_scores[:, k]
+        idx, valid = nms_bev(boxes, sk, iou_threshold, pre_max=pre_max,
+                             post_max=post_max,
+                             score_threshold=score_threshold)
+        all_idx.append(idx)
+        all_valid.append(valid)
+        all_scores.append(jnp.where(valid, sk[idx], 0.0))
+        all_labels.append(jnp.full((post_max,), k + 1, jnp.int32))
+    idx = jnp.concatenate(all_idx)
+    valid = jnp.concatenate(all_valid)
+    scores = jnp.concatenate(all_scores)
+    labels = jnp.concatenate(all_labels)
+    order = jnp.argsort(-scores)
+    return idx[order], valid[order], labels[order], scores[order]
+
+
 @partial(jax.jit, static_argnames=('pre_max', 'post_max'))
 def variance_voting_nms(boxes, scores, variance, iou_threshold,
                         pre_max: int = 4096, post_max: int = 500,

@@ -137,3 +137,21 @@ def test_variance_voting_moves_box_toward_cluster():
     # kept box is box 0 but voted x should be ~0.5 (dominated by low-var box)
     assert np.asarray(idx)[0] == 0
     assert abs(voted[0, 0] - 0.5) < 0.01
+
+
+def test_multi_classes_nms(rng):
+    boxes = random_boxes(rng, 40, spread=30.0)
+    cls_scores = rng.uniform(0, 1, (40, 2)).astype(np.float32)
+    idx, valid, labels, scores = nms.multi_classes_nms(
+        jnp.asarray(boxes), jnp.asarray(cls_scores), 0.1, num_class=2,
+        pre_max=40, post_max=40)
+    idx, valid = np.asarray(idx), np.asarray(valid)
+    labels, scores = np.asarray(labels), np.asarray(scores)
+    # per-class keeps match single-class NMS on that class's scores
+    for k in (1, 2):
+        want = np_greedy_nms(boxes, cls_scores[:, k - 1].copy(), 0.1)
+        got = idx[valid & (labels == k)]
+        np.testing.assert_array_equal(np.sort(got), np.sort(want))
+    # merged order is by descending score
+    s = scores[valid]
+    assert (np.diff(s) <= 1e-6).all()
