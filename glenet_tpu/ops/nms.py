@@ -101,6 +101,50 @@ def nms_normal(boxes, scores, iou_threshold, pre_max: int = 4096,
     return order[keep_idx], keep_valid
 
 
+@partial(jax.jit, static_argnames=('pre_max', 'post_max', 'soft_mode'))
+def soft_nms(boxes, scores, score_threshold: float = 0.1,
+             soft_sigma: float = 0.3, soft_mode: str = 'gaussian',
+             pre_max: int = 1024, post_max: int = 256):
+    """Soft-NMS (reference iou3d_nms_utils.softnms :313-356, w/o voting):
+    per greedy iteration, remaining scores are rescaled by
+    exp(-iou^2/sigma) (gaussian) or (1-iou when iou >= sigma) (linear);
+    kept boxes are those ending with score > score_threshold.
+
+    Returns keep_idx (post_max,), keep_valid, final_scores (post_max,).
+    """
+    n = boxes.shape[0]
+    pre_max = min(pre_max, n)
+    boxes_s, scores_s, order = _topk_boxes(boxes, scores, pre_max)
+    corners = iou3d.box_to_bev_corners(boxes_s)
+    area = boxes_s[:, 3] * boxes_s[:, 4]
+    live = jnp.where(scores_s >= score_threshold, scores_s, _NEG_INF)
+
+    def body(k, state):
+        live, keep_idx, keep_valid, keep_scores = state
+        i = jnp.argmax(live)
+        valid = live[i] > _NEG_INF / 2
+        cur_score = live[i]
+        overlap = iou3d._row_overlap(boxes_s[i], corners)
+        iou = overlap / jnp.clip(area[i] + area - overlap, 1e-6, None)
+        if soft_mode == 'gaussian':
+            scale = jnp.exp(-iou ** 2 / soft_sigma)
+        else:
+            scale = jnp.where(iou >= soft_sigma, 1.0 - iou, 1.0)
+        live = jnp.where(valid, live * scale, live)
+        live = jnp.where(live < score_threshold, _NEG_INF, live)
+        live = live.at[i].set(_NEG_INF)
+        keep_idx = keep_idx.at[k].set(jnp.where(valid, i, 0))
+        keep_valid = keep_valid.at[k].set(valid)
+        keep_scores = keep_scores.at[k].set(jnp.where(valid, cur_score, 0.0))
+        return live, keep_idx, keep_valid, keep_scores
+
+    init = (live, jnp.zeros((post_max,), jnp.int32),
+            jnp.zeros((post_max,), bool), jnp.zeros((post_max,), jnp.float32))
+    _, keep_idx, keep_valid, keep_scores = jax.lax.fori_loop(
+        0, post_max, body, init)
+    return order[keep_idx], keep_valid, keep_scores
+
+
 @partial(jax.jit, static_argnames=('num_class', 'pre_max', 'post_max'))
 def multi_classes_nms(boxes, cls_scores, iou_threshold, num_class: int,
                       pre_max: int = 1024, post_max: int = 128,

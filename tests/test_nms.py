@@ -155,3 +155,34 @@ def test_multi_classes_nms(rng):
     # merged order is by descending score
     s = scores[valid]
     assert (np.diff(s) <= 1e-6).all()
+
+
+def np_soft_nms_oracle(boxes, scores, score_threshold=0.1, soft_sigma=0.3):
+    """Transcription of reference softnms (:313-356) without voting."""
+    scores = scores.copy()
+    iou = iou3d.boxes_bev_iou_np(boxes, boxes)
+    undone = scores >= score_threshold
+    kept = []
+    while undone.sum() > 0:
+        live = np.nonzero(undone)[0]
+        i = live[scores[live].argmax()]
+        kept.append((i, scores[i]))
+        undone[i] = False
+        scale = np.exp(-iou[i] ** 2 / soft_sigma)
+        scores[undone] *= scale[undone]
+        undone[scores < score_threshold] = False
+    return kept
+
+
+def test_soft_nms_matches_oracle(rng):
+    boxes = random_boxes(rng, 32, spread=8.0)
+    scores = rng.uniform(0.05, 1.0, 32).astype(np.float32)
+    want = np_soft_nms_oracle(boxes, scores)
+    idx, valid, final = nms.soft_nms(
+        jnp.asarray(boxes), jnp.asarray(scores),
+        score_threshold=0.1, soft_sigma=0.3, pre_max=32, post_max=32)
+    idx = np.asarray(idx)[np.asarray(valid)]
+    final = np.asarray(final)[np.asarray(valid)]
+    np.testing.assert_array_equal(idx, [w[0] for w in want])
+    np.testing.assert_allclose(final, [w[1] for w in want],
+                               rtol=1e-3, atol=1e-4)
