@@ -194,18 +194,23 @@ class VoxelBackBone8x(nn.Module):
             out = nn.relu(h + x)
             return jnp.where(m[..., None], out, 0.0)
 
+        # remat: recompute dense-level activations in the backward instead of
+        # keeping ~1 GB of f32 conv inputs alive per level (the KITTI-scale
+        # train step otherwise exceeds the 16 GB v5e HBM)
+        DenseRemat = nn.remat(DenseConvBN, static_argnums=(3,))
+
         def dense_unit(x, occ, ch, name):
             if not self.residual:
-                return DenseConvBN(ch, 3, 1, 1, submanifold=True,
-                                   axis_name=self.axis_name,
-                                   name=name)(x, occ, train=train)
+                return DenseRemat(ch, 3, 1, 1, submanifold=True,
+                                  axis_name=self.axis_name,
+                                  name=name)(x, occ, train)
             # residual basic block
-            h, _ = DenseConvBN(ch, 3, 1, 1, submanifold=True,
-                               axis_name=self.axis_name,
-                               name=f'{name}a')(x, occ, train=train)
-            h, _ = DenseConvBN(ch, 3, 1, 1, submanifold=True, use_relu=False,
-                               axis_name=self.axis_name,
-                               name=f'{name}b')(h, occ, train=train)
+            h, _ = DenseRemat(ch, 3, 1, 1, submanifold=True,
+                              axis_name=self.axis_name,
+                              name=f'{name}a')(x, occ, train)
+            h, _ = DenseRemat(ch, 3, 1, 1, submanifold=True, use_relu=False,
+                              axis_name=self.axis_name,
+                              name=f'{name}b')(h, occ, train)
             out = nn.relu(h + x)
             return jnp.where(occ[..., None], out, 0.0), occ
 
@@ -243,24 +248,32 @@ class VoxelBackBone8x(nn.Module):
 
         for j in range(self.subm_per_block[1]):
             xd, occ = dense_unit(xd, occ, c3, f'conv3_{j}')
+        # ids/mask kept alongside the dense tensors: VSA-style consumers
+        # (PV-RCNN keypoint aggregation) need the active-site point list
         ms['x_conv3'] = {'kind': 'dense', 'features': xd, 'occ': occ,
+                         'ids': ids3, 'mask': mask3,
                          'grid': grid3, 'stride': 4}
 
         # --- level 4 (dense, z padding 0) -------------------------------------
-        xd, occ = DenseConvBN(c4, 3, 2, (0, 1, 1), submanifold=False,
-                              axis_name=self.axis_name,
-                              name='conv4_down')(xd, occ, train=train)
+        xd, occ = DenseRemat(c4, 3, 2, (0, 1, 1), submanifold=False,
+                             axis_name=self.axis_name,
+                             name='conv4_down')(xd, occ, train)
         for j in range(self.subm_per_block[2]):
             xd, occ = dense_unit(xd, occ, c4, f'conv4_{j}')
         grid4 = sparse.out_grid_size(grid3, 3, 2, (0, 1, 1))
+        # active sites of the dense stride-8 level via the spconv activation
+        # rule (identical to the dense occupancy dilation conv4_down applies)
+        ids4, mask4 = jax.vmap(lambda i, m: sparse.strided_output_sites(
+            i, m, grid3, 3, 2, (0, 1, 1), caps[3]))(ids3, mask3)
         ms['x_conv4'] = {'kind': 'dense', 'features': xd, 'occ': occ,
+                         'ids': ids4, 'mask': mask4,
                          'grid': grid4, 'stride': 8}
 
         # --- conv_out: z-compression (3,1,1) stride (2,1,1) pad 0 -----------
-        xd, occ = DenseConvBN(self.out_channels, (3, 1, 1), (2, 1, 1),
-                              (0, 0, 0), submanifold=False,
-                              axis_name=self.axis_name,
-                              name='conv_out')(xd, occ, train=train)
+        xd, occ = DenseRemat(self.out_channels, (3, 1, 1), (2, 1, 1),
+                             (0, 0, 0), submanifold=False,
+                             axis_name=self.axis_name,
+                             name='conv_out')(xd, occ, train)
 
         # HeightCompression: fold z into channels
         b, nz5, ny5, nx5, c = xd.shape

@@ -2,12 +2,21 @@
 
 Replaces the reference CUDA blockwise-mask NMS (iou3d_nms_kernel.cu:267-313)
 and — crucially — the CPU variance-voting NMS the reference runs per frame at
-eval time (pcdet/ops/iou3d_nms/iou3d_nms_utils.py:200-273).  Both are
-expressed as a greedy `lax.fori_loop` over a *static* number of output slots:
-each iteration picks the argmax-score live box, computes its rotated-IoU row
-against all candidates on the fly (no N x N matrix materialized), suppresses,
-and (for the variance-voting variant) replaces the kept box with the
-KL-weighted average of its high-IoU cluster.
+eval time (pcdet/ops/iou3d_nms/iou3d_nms_utils.py:200-273).
+
+TPU formulation (round 2 — the round-1 greedy fori_loop recomputed a
+rotated-IoU row per sequential iteration, dominating two-stage model time):
+  1. the full (pre_max x pre_max) rotated-IoU matrix is computed ONCE,
+     fully parallel on the VPU (candidates are pre-sorted by score, so
+     greedy order == row order);
+  2. the greedy suppression pass runs over 64-row blocks: inside a block
+     the 64 keep decisions are unrolled scalar/vector ops on the block-
+     local 64x64 sub-matrix; each block then suppresses all later boxes
+     with one vectorized any-reduce — sequential depth pre_max/64 instead
+     of post_max full-IoU rows;
+  3. variance voting is vectorized after the keep pass: every box's
+     "suppressor" (the first kept box overlapping it) is a min-reduce over
+     the mask matrix, and cluster averages become one segment-sum.
 
 All outputs are fixed-shape: (post_max,) indices + validity mask (+ voted
 boxes), so the caller stays inside jit.
@@ -23,11 +32,67 @@ import numpy as np
 from . import iou3d
 
 _NEG_INF = -1e9
+_BLK = 64
 
 
 def _topk_boxes(boxes, scores, pre_max):
     order = jnp.argsort(-scores)[:pre_max]
     return boxes[order], scores[order], order
+
+
+def greedy_keep(supp_mat, live):
+    """Greedy NMS keep flags over score-sorted candidates.
+
+    Args:
+        supp_mat: (P, P) bool — True where box row would suppress box col
+                  (diagonal True is fine: self-suppression is ignored).
+        live: (P,) bool — candidates above the score threshold.
+    Returns:
+        keep: (P,) bool.
+    """
+    p0 = supp_mat.shape[0]
+    p = p0
+    if p % _BLK:
+        pad = _BLK - p % _BLK
+        supp_mat = jnp.pad(supp_mat, ((0, pad), (0, pad)))
+        live = jnp.pad(live, (0, pad))
+        p += pad
+
+    def body(b, state):
+        suppressed, keep = state
+        base = b * _BLK
+        rows = jax.lax.dynamic_slice(supp_mat, (base, 0), (_BLK, p))
+        sq = jax.lax.dynamic_slice(supp_mat, (base, base), (_BLK, _BLK))
+        sup_blk = jax.lax.dynamic_slice(suppressed, (base,), (_BLK,))
+        live_blk = jax.lax.dynamic_slice(live, (base,), (_BLK,))
+        sup_local = jnp.zeros((_BLK,), bool)
+        keeps = []
+        for j in range(_BLK):                     # unrolled: static indices
+            kj = live_blk[j] & ~sup_blk[j] & ~sup_local[j]
+            keeps.append(kj)
+            sup_local = sup_local | (kj & sq[j])
+        keep_blk = jnp.stack(keeps)
+        new_sup = (keep_blk[:, None] & rows).any(axis=0)
+        suppressed = suppressed | new_sup
+        keep = jax.lax.dynamic_update_slice(keep, keep_blk, (base,))
+        return suppressed, keep
+
+    suppressed = jnp.zeros((p,), bool)
+    keep = jnp.zeros((p,), bool)
+    _, keep = jax.lax.fori_loop(0, p // _BLK, body, (suppressed, keep))
+    return keep[:p0]
+
+
+def _first_k_kept(keep, k):
+    """Indices of the first k True entries of `keep` (score order) +
+    validity.  Static shapes via rank-scatter."""
+    p = keep.shape[0]
+    rank = jnp.cumsum(keep) - 1
+    slot = jnp.where(keep & (rank < k), rank, k)
+    idx = jnp.zeros((k + 1,), jnp.int32).at[slot].set(
+        jnp.arange(p, dtype=jnp.int32), mode='drop')[:k]
+    valid = jnp.arange(k) < keep.sum()
+    return idx, valid
 
 
 @partial(jax.jit, static_argnames=('pre_max', 'post_max'))
@@ -44,28 +109,10 @@ def nms_bev(boxes, scores, iou_threshold, pre_max: int = 4096,
     n = boxes.shape[0]
     pre_max = min(pre_max, n)
     boxes_s, scores_s, order = _topk_boxes(boxes, scores, pre_max)
-    corners = iou3d.box_to_bev_corners(boxes_s)
-    area = boxes_s[:, 3] * boxes_s[:, 4]
-    live = jnp.where(scores_s > score_threshold, scores_s, _NEG_INF)
-
-    def body(k, state):
-        live, keep_idx, keep_valid = state
-        i = jnp.argmax(live)
-        valid = live[i] > _NEG_INF / 2
-        # rotated IoU of box i against all candidates
-        overlap = iou3d._row_overlap(boxes_s[i], corners)
-        iou = overlap / jnp.clip(area[i] + area - overlap, 1e-6, None)
-        suppress = valid & (iou > iou_threshold)
-        live = jnp.where(suppress, _NEG_INF, live)
-        live = live.at[i].set(_NEG_INF)
-        keep_idx = keep_idx.at[k].set(jnp.where(valid, i, 0))
-        keep_valid = keep_valid.at[k].set(valid)
-        return live, keep_idx, keep_valid
-
-    keep_idx = jnp.zeros((post_max,), jnp.int32)
-    keep_valid = jnp.zeros((post_max,), bool)
-    live, keep_idx, keep_valid = jax.lax.fori_loop(
-        0, post_max, body, (live, keep_idx, keep_valid))
+    live = scores_s > score_threshold
+    iou = iou3d.boxes_iou_bev(boxes_s, boxes_s)
+    keep = greedy_keep(iou > iou_threshold, live)
+    keep_idx, keep_valid = _first_k_kept(keep, post_max)
     return order[keep_idx], keep_valid
 
 
@@ -80,24 +127,10 @@ def nms_normal(boxes, scores, iou_threshold, pre_max: int = 4096,
     aligned = jnp.concatenate([
         boxes_s[:, 0:2] - boxes_s[:, 3:5] / 2,
         boxes_s[:, 0:2] + boxes_s[:, 3:5] / 2], axis=1)
-    live = jnp.where(scores_s > score_threshold, scores_s, _NEG_INF)
-
-    def body(k, state):
-        live, keep_idx, keep_valid = state
-        i = jnp.argmax(live)
-        valid = live[i] > _NEG_INF / 2
-        iou = box_utils.boxes_iou_normal(aligned[i][None], aligned)[0]
-        suppress = valid & (iou > iou_threshold)
-        live = jnp.where(suppress, _NEG_INF, live)
-        live = live.at[i].set(_NEG_INF)
-        keep_idx = keep_idx.at[k].set(jnp.where(valid, i, 0))
-        keep_valid = keep_valid.at[k].set(valid)
-        return live, keep_idx, keep_valid
-
-    keep_idx = jnp.zeros((post_max,), jnp.int32)
-    keep_valid = jnp.zeros((post_max,), bool)
-    _, keep_idx, keep_valid = jax.lax.fori_loop(
-        0, post_max, body, (live, keep_idx, keep_valid))
+    live = scores_s > score_threshold
+    iou = box_utils.boxes_iou_normal(aligned, aligned)
+    keep = greedy_keep(iou > iou_threshold, live)
+    keep_idx, keep_valid = _first_k_kept(keep, post_max)
     return order[keep_idx], keep_valid
 
 
@@ -115,8 +148,7 @@ def soft_nms(boxes, scores, score_threshold: float = 0.1,
     n = boxes.shape[0]
     pre_max = min(pre_max, n)
     boxes_s, scores_s, order = _topk_boxes(boxes, scores, pre_max)
-    corners = iou3d.box_to_bev_corners(boxes_s)
-    area = boxes_s[:, 3] * boxes_s[:, 4]
+    iou_mat = iou3d.boxes_iou_bev(boxes_s, boxes_s)
     live = jnp.where(scores_s >= score_threshold, scores_s, _NEG_INF)
 
     def body(k, state):
@@ -124,8 +156,7 @@ def soft_nms(boxes, scores, score_threshold: float = 0.1,
         i = jnp.argmax(live)
         valid = live[i] > _NEG_INF / 2
         cur_score = live[i]
-        overlap = iou3d._row_overlap(boxes_s[i], corners)
-        iou = overlap / jnp.clip(area[i] + area - overlap, 1e-6, None)
+        iou = iou_mat[i]
         if soft_mode == 'gaussian':
             scale = jnp.exp(-iou ** 2 / soft_sigma)
         else:
@@ -205,50 +236,43 @@ def variance_voting_nms(boxes, scores, variance, iou_threshold,
     pre_max = min(pre_max, n)
     boxes_s, scores_s, order = _topk_boxes(boxes, scores, pre_max)
     var_s = variance[order]
-    corners = iou3d.box_to_bev_corners(boxes_s)
-    area = boxes_s[:, 3] * boxes_s[:, 4]
-    live = jnp.where(scores_s >= score_threshold, scores_s, _NEG_INF)
+    live = scores_s >= score_threshold
+    iou = iou3d.boxes_iou_bev(boxes_s, boxes_s)                # (P, P)
+    supp = iou > iou_threshold
+    keep = greedy_keep(supp, live)
 
-    def body(k, state):
-        live, keep_idx, keep_valid, voted, kept_scores = state
-        i = jnp.argmax(live)
-        valid = live[i] > _NEG_INF / 2
-        top_box = boxes_s[i]
-        overlap = iou3d._row_overlap(top_box, corners)
-        iou = overlap / jnp.clip(area[i] + area - overlap, 1e-6, None)
-        undone = live > _NEG_INF / 2
-        cluster = undone & (iou > iou_threshold)
+    # suppressor(j): first kept box overlapping j — the greedy iteration at
+    # which j joined a cluster.  kept boxes are their own suppressor.
+    p = boxes_s.shape[0]
+    member = keep[:, None] & supp & live[None, :]              # (P, P)
+    supp_by = jnp.where(member, jnp.arange(p)[:, None], p)
+    suppressor = supp_by.min(axis=0)                           # (P,), p=none
+    in_cluster = suppressor < p
+    sup_safe = jnp.where(in_cluster, suppressor, 0)
 
-        # heading alignment toward the top box
-        dh = boxes_s[:, 6] - top_box[6]
-        shift = jnp.where(
-            jnp.abs(dh) >= np.pi * 3 / 2,
-            jnp.where(top_box[6] > 0, 2 * np.pi, -2 * np.pi), 0.0)
-        headings = boxes_s[:, 6] + shift
-        cluster_boxes = jnp.concatenate(
-            [boxes_s[:, :6], headings[:, None]], axis=1)
+    # heading alignment toward the suppressor (top) box
+    h = boxes_s[:, 6]
+    h_top = h[sup_safe]
+    dh = h - h_top
+    shift = jnp.where(jnp.abs(dh) >= np.pi * 3 / 2,
+                      jnp.where(h_top > 0, 2 * np.pi, -2 * np.pi), 0.0)
+    h_shifted = h + shift
+    member_boxes = jnp.concatenate([boxes_s[:, :6], h_shifted[:, None]], 1)
 
-        w_iou = jnp.exp(-(1.0 - iou) ** 2 / std_iou_sigma)[:, None]
-        pi = w_iou / var_s                                    # (pre, 7)
-        heading_ok = jnp.abs(headings - top_box[6]) < np.pi / 4
-        pi = pi.at[:, 6].set(jnp.where(heading_ok, pi[:, 6], 0.0))
-        pi = jnp.where(cluster[:, None], pi, 0.0)
-        denom = jnp.clip(pi.sum(axis=0), 1e-20, None)
-        voted_box = (pi * cluster_boxes).sum(axis=0) / denom
-        voted_box = jnp.where(valid, voted_box, jnp.zeros(7))
+    iou_to_top = jnp.take_along_axis(iou, sup_safe[None, :], axis=0)[0]
+    w_iou = jnp.exp(-(1.0 - iou_to_top) ** 2 / std_iou_sigma)[:, None]
+    pi = w_iou / var_s                                         # (P, 7)
+    heading_ok = jnp.abs(h_shifted - h_top) < np.pi / 4
+    pi = pi.at[:, 6].set(jnp.where(heading_ok, pi[:, 6], 0.0))
+    pi = jnp.where(in_cluster[:, None], pi, 0.0)
 
-        live = jnp.where(cluster, _NEG_INF, live)
-        live = live.at[i].set(_NEG_INF)
-        keep_idx = keep_idx.at[k].set(jnp.where(valid, i, 0))
-        keep_valid = keep_valid.at[k].set(valid)
-        voted = voted.at[k].set(voted_box)
-        kept_scores = kept_scores.at[k].set(jnp.where(valid, scores_s[i], 0.0))
-        return live, keep_idx, keep_valid, voted, kept_scores
+    # cluster-segment sums -> voted box per kept slot
+    num = jnp.zeros((p + 1, 7)).at[sup_safe].add(
+        jnp.where(in_cluster[:, None], pi * member_boxes, 0.0))
+    den = jnp.zeros((p + 1, 7)).at[sup_safe].add(pi)
+    voted_all = num[:p] / jnp.clip(den[:p], 1e-20, None)
 
-    keep_idx = jnp.zeros((post_max,), jnp.int32)
-    keep_valid = jnp.zeros((post_max,), bool)
-    voted = jnp.zeros((post_max, 7), jnp.float32)
-    kept_scores = jnp.zeros((post_max,), jnp.float32)
-    _, keep_idx, keep_valid, voted, kept_scores = jax.lax.fori_loop(
-        0, post_max, body, (live, keep_idx, keep_valid, voted, kept_scores))
+    keep_idx, keep_valid = _first_k_kept(keep, post_max)
+    voted = jnp.where(keep_valid[:, None], voted_all[keep_idx], 0.0)
+    kept_scores = jnp.where(keep_valid, scores_s[keep_idx], 0.0)
     return order[keep_idx], keep_valid, voted, kept_scores

@@ -64,6 +64,37 @@ def out_grid_size(grid, kernel_size, stride, padding) -> Tuple[int, int, int]:
     return (ox, oy, oz)
 
 
+def merged_searchsorted(ids, queries):
+    """Insertion positions ('left') of each row of `queries` into sorted
+    `ids`, computed with ONE combined sort instead of per-element binary
+    search (jnp.searchsorted's while-loop of row gathers runs at HBM
+    latency on TPU; a bitonic sort of the concatenated keys is pure
+    vector work).
+
+    Each query's position is independent (count of table keys before it in
+    the combined order), so query rows need not be sorted.
+
+    Args:
+        ids: (V,) sorted ascending.
+        queries: (Q, V) arbitrary.
+    Returns:
+        (Q, V) int32 positions in [0, V].
+    """
+    q, nq = queries.shape
+    nt = ids.shape[0]
+    keys = jnp.concatenate([ids, queries.reshape(-1)])
+    # tag: table=1, query=0 -> on equal keys the query sorts first, so the
+    # exclusive cumsum of table tags counts ids strictly below ('left')
+    tag = jnp.concatenate([jnp.ones(nt, jnp.int32),
+                           jnp.zeros(q * nq, jnp.int32)])
+    payload = jnp.concatenate([jnp.full((nt,), q * nq, jnp.int32),
+                               jnp.arange(q * nq, dtype=jnp.int32)])
+    _, st, sp = jax.lax.sort((keys, tag, payload), num_keys=2)
+    pos = jnp.cumsum(st) - st
+    out = jnp.zeros(q * nq + 1, jnp.int32).at[sp].set(pos.astype(jnp.int32))
+    return out[:q * nq].reshape(q, nq)
+
+
 def subm_neighbor_table(ids, mask, grid, kernel_size=3):
     """Neighbor slot indices for submanifold conv.
 
@@ -99,7 +130,7 @@ def subm_neighbor_table(ids, mask, grid, kernel_size=3):
                & (tz >= 0) & (tz < nz) & (ty >= 0) & (ty < ny))
     tid_c = jnp.where(valid_c, linearize(tz, ty, x[None, :], grid), n_cells)
 
-    pos_c = jnp.clip(jnp.searchsorted(ids, tid_c), 0, v - 1)     # (kz*ky, V)
+    pos_c = jnp.clip(merged_searchsorted(ids, tid_c), 0, v - 1)  # (kz*ky, V)
     found_c = valid_c & (ids[pos_c] == tid_c) & (tid_c < n_cells)
     center = jnp.where(found_c, pos_c, v).astype(jnp.int32)
 
@@ -216,7 +247,7 @@ def strided_gather_table(in_ids, in_mask, out_ids, out_mask, grid,
              & (iz >= 0) & (iz < nz) & (iy >= 0) & (iy < ny)
              & (ix >= 0) & (ix < nx))
     tid = jnp.where(valid, linearize(iz, iy, ix, grid), n_cells)
-    pos = jnp.clip(jnp.searchsorted(in_ids, tid), 0, v_in - 1)
+    pos = jnp.clip(merged_searchsorted(in_ids, tid), 0, v_in - 1)
     found = valid & (in_ids[pos] == tid) & (tid < n_cells)
     return jnp.where(found, pos, v_in).astype(jnp.int32)
 
