@@ -95,8 +95,15 @@ class DetectorNet(nn.Module):
                 max_voxels=self.max_voxels, axis_name=self.axis_name)
 
         self.point_head = None
+        self.point_head_simple = None
         ph_cfg = mcfg.get('POINT_HEAD', None)
-        if ph_cfg is not None:
+        if ph_cfg is not None and ph_cfg.get('NAME') == 'PointHeadSimple':
+            from .pfe import PointHeadSimple
+            self.point_head_simple = PointHeadSimple(
+                num_class=(1 if ph_cfg.get('CLASS_AGNOSTIC', True)
+                           else self.num_class),
+                cls_fc=tuple(ph_cfg.CLS_FC), axis_name=self.axis_name)
+        elif ph_cfg is not None:
             from .point_heads import PointHeadBox
             pt_coder = box_coder_lib.build_box_coder(
                 ph_cfg.TARGET_CONFIG.BOX_CODER,
@@ -106,11 +113,27 @@ class DetectorNet(nn.Module):
                 num_class=self.num_class, code_size=pt_coder.code_size,
                 cls_fc=tuple(ph_cfg.CLS_FC), reg_fc=tuple(ph_cfg.REG_FC),
                 axis_name=self.axis_name)
+
+        self.pfe = None
+        pfe_cfg = mcfg.get('PFE', None)
+        if pfe_cfg is not None:
+            from .pfe import VoxelSetAbstraction
+            self.pfe = VoxelSetAbstraction(
+                model_cfg=pfe_cfg, voxel_size=self.voxel_size,
+                pc_range=self.pc_range, axis_name=self.axis_name)
         if self._is_point_based:
             # point topology has no BEV stages
             self.map_to_bev_name = None
             self.dense_head = None
             self.roi_head = None
+            roi_cfg = mcfg.get('ROI_HEAD', None)
+            if roi_cfg is not None and roi_cfg.NAME == 'PointRCNNHead':
+                from .point_rcnn_head import PointRCNNHead
+                self.roi_head = PointRCNNHead(
+                    model_cfg=roi_cfg,
+                    num_class=(1 if roi_cfg.get('CLASS_AGNOSTIC', True)
+                               else self.num_class),
+                    code_size=7, axis_name=self.axis_name)
             self._mcfg = mcfg
             return
 
@@ -155,7 +178,14 @@ class DetectorNet(nn.Module):
             else None)
 
         roi_cfg = mcfg.get('ROI_HEAD', None)
-        if roi_cfg is not None:
+        self._roi_is_pvrcnn = False
+        if roi_cfg is not None and roi_cfg.NAME == 'PVRCNNHead':
+            from .roi_heads import PVRCNNHead
+            self._roi_is_pvrcnn = True
+            self.roi_head = PVRCNNHead(
+                model_cfg=roi_cfg, code_size=self._coder.code_size,
+                axis_name=self.axis_name)
+        elif roi_cfg is not None:
             from .roi_heads import VoxelRCNNHead
             self.roi_head = VoxelRCNNHead(
                 model_cfg=roi_cfg,
@@ -203,7 +233,12 @@ class DetectorNet(nn.Module):
             head_out = self.point_head(feats, points_mask, train=train)
             head_out['point_xyz'] = points[..., :3]
             head_out['point_mask'] = points_mask
-            return {'point_head': head_out}
+            out = {'point_head': head_out}
+            if self.roi_head is None:
+                return out
+            return self._point_rcnn_stage2(
+                out, points, points_mask, feats, gt_boxes, gt_mask,
+                gt_uncertainty, train)
 
         voxelize_fn = functools.partial(
             vox_ops.voxelize,
@@ -241,6 +276,24 @@ class DetectorNet(nn.Module):
         out = {'dense_head': self.dense_head(spatial_2d, train=train)}
         if self.roi_head is None:
             return out
+
+        # ---- PFE: VoxelSetAbstraction keypoints (PV-RCNN) ------------------
+        kp_feats_weighted = None
+        vsa = None
+        if self.pfe is not None:
+            # HeightCompression BEV stride is 8 (VoxelBackBone8x)
+            vsa = self.pfe(points, points_mask, multi_scale, spatial,
+                           bev_stride=8, train=train)
+            ph_cfg = self._mcfg.get('POINT_HEAD', None)
+            use_before = (ph_cfg or {}).get(
+                'USE_POINT_FEATURES_BEFORE_FUSION', True)
+            kp_in = (vsa['point_features_before_fusion'] if use_before
+                     else vsa['point_features'])
+            kp_cls = self.point_head_simple(kp_in, train=train)
+            kp_scores = jax.nn.sigmoid(kp_cls).max(axis=-1)
+            out['pfe'] = {'keypoints': vsa['keypoints'],
+                          'point_cls_preds': kp_cls}
+            kp_feats_weighted = vsa['point_features'] * kp_scores[..., None]
 
         # ---- two-stage: proposals -> (train: sampling) -> roi head --------
         from flax.core import unfreeze
@@ -297,8 +350,94 @@ class DetectorNet(nn.Module):
         else:
             roi_in = rois
 
-        out['rcnn'] = self.roi_head(roi_in, multi_scale, train=train)
+        if self._roi_is_pvrcnn:
+            out['rcnn'] = self.roi_head(
+                roi_in, vsa['keypoints'], kp_feats_weighted, train=train)
+        else:
+            out['rcnn'] = self.roi_head(roi_in, multi_scale, train=train)
         out['rcnn']['rois'] = roi_in
+        return out
+
+    def _point_rcnn_stage2(self, out, points, points_mask, feats, gt_boxes,
+                           gt_mask, gt_uncertainty, train):
+        """PointRCNN RoI refinement (reference pointrcnn_head.py:10-179):
+        stage-1 point boxes -> NMS proposals -> (train: roi sampling) ->
+        roipoint pooling (detached, as the reference's no_grad) -> head."""
+        import functools
+        from flax.core import unfreeze
+        from ..config import Cfg
+        from ..ops import nms as nms_ops
+        from ..ops import roipoint_pool
+        from . import roi_heads as roi_lib
+        from .point_rcnn_head import canonicalize_pooled, pool_prefix_features
+
+        head_out = out['point_head']
+        roi_cfg = Cfg(unfreeze(self._mcfg)).ROI_HEAD
+        xyz = points[..., :3]
+
+        cls = jax.nn.sigmoid(head_out['point_cls_preds'])
+        cls = jnp.where(points_mask[..., None], cls, 0.0)
+        best_scores = cls.max(axis=-1)
+        best_labels = cls.argmax(axis=-1) + 1
+        boxes = jax.vmap(
+            lambda enc, x, lab: self._pt_coder.decode(enc, x, lab))(
+            head_out['point_box_preds'], xyz, best_labels)
+
+        nms_cfg = roi_cfg.NMS_CONFIG['TRAIN' if train else 'TEST']
+        pre_max = int(nms_cfg.NMS_PRE_MAXSIZE)
+        post_max = int(nms_cfg.NMS_POST_MAXSIZE)
+
+        def one_sample(boxes_s, scores_s, labels_s):
+            idx, valid = nms_ops.nms_bev(
+                boxes_s[:, :7], scores_s, float(nms_cfg.NMS_THRESH),
+                pre_max=pre_max, post_max=post_max,
+                score_threshold=float(nms_cfg.get('SCORE_THRESH', 0.0)))
+            return (boxes_s[idx, :7], jnp.where(valid, scores_s[idx], 0.0),
+                    jnp.where(valid, labels_s[idx], 0), valid)
+
+        rois, roi_scores, roi_labels, roi_valid = jax.vmap(one_sample)(
+            boxes, best_scores, best_labels)
+        rois, roi_scores = jax.lax.stop_gradient((rois, roi_scores))
+        out['proposals'] = {'rois': rois, 'roi_scores': roi_scores,
+                            'roi_labels': roi_labels, 'roi_valid': roi_valid}
+
+        if train:
+            assert gt_boxes is not None
+            rng = self.make_rng('roi_sampler')
+            tcfg = roi_cfg.TARGET_CONFIG
+            keys = jax.random.split(rng, rois.shape[0])
+            unc = (gt_uncertainty if gt_uncertainty is not None
+                   else jnp.ones((*gt_boxes.shape[:2], 7), boxes.dtype))
+            targets = jax.vmap(functools.partial(
+                roi_lib.sample_rois_single, cfg=tcfg))(
+                keys, rois, roi_scores, roi_labels, gt_boxes, gt_mask, unc)
+            targets['gt_of_rois_ct'] = jax.vmap(roi_lib.canonical_gt_of_rois)(
+                targets['rois'], targets['gt_of_rois_src'])
+            targets = jax.lax.stop_gradient(targets)
+            out['roi_targets'] = targets
+            roi_in = targets['rois']
+        else:
+            roi_in = rois
+
+        # ---- roipoint pooling (reference runs it under no_grad) -----------
+        pool_cfg = roi_cfg.ROI_POINT_POOL
+        prefix = jax.vmap(functools.partial(
+            pool_prefix_features,
+            depth_normalizer=float(pool_cfg.DEPTH_NORMALIZER)))(
+            xyz, feats, best_scores)
+        pooled, empty = jax.vmap(functools.partial(
+            roipoint_pool.roipoint_pool3d,
+            num_sampled=int(pool_cfg.NUM_SAMPLED_POINTS),
+            extra_width=tuple(pool_cfg.POOL_EXTRA_WIDTH)))(
+            xyz, prefix, roi_in, points_mask=points_mask)
+        pooled = jax.vmap(canonicalize_pooled)(pooled, roi_in, empty)
+        b, r, s = pooled.shape[:3]
+        pooled = jax.lax.stop_gradient(pooled.reshape(b * r, s, -1))
+        empty = empty.reshape(b * r)
+
+        rcnn = self.roi_head(pooled, empty, train=train)
+        rcnn['rois'] = roi_in
+        out['rcnn'] = rcnn
         return out
 
 
@@ -322,7 +461,8 @@ class Detector:
 
         ph_cfg = model_cfg.get('POINT_HEAD', None)
         self.point_coder = None
-        if ph_cfg is not None:
+        if (ph_cfg is not None
+                and ph_cfg.get('TARGET_CONFIG', {}).get('BOX_CODER')):
             self.point_coder = box_coder_lib.build_box_coder(
                 ph_cfg.TARGET_CONFIG.BOX_CODER,
                 **ph_cfg.TARGET_CONFIG.get('BOX_CODER_CONFIG', {}))
@@ -399,7 +539,13 @@ class Detector:
 
     def compute_loss(self, full_out, batch):
         if 'point_head' in full_out:
-            return self._point_loss(full_out['point_head'], batch)
+            total, metrics = self._point_loss(full_out['point_head'], batch)
+            if 'rcnn' in full_out and 'roi_targets' in full_out:
+                rcnn_total, rcnn_metrics = self._rcnn_loss(full_out)
+                total = total + rcnn_total
+                metrics.update(rcnn_metrics)
+                metrics['loss'] = total
+            return total, metrics
         out = full_out['dense_head']
         if self.is_center_head:
             return self._center_loss(out, batch)
@@ -465,30 +611,57 @@ class Detector:
             metrics['loss_iou'] = i_loss
             total = total + i_loss
 
+        # ---- keypoint segmentation loss (PV-RCNN PointHeadSimple) ----------
+        if 'pfe' in full_out:
+            from . import pfe as pfe_lib
+            ph_cfg = self.model_cfg.POINT_HEAD
+            extra = tuple(ph_cfg.TARGET_CONFIG.get('GT_EXTRA_WIDTH',
+                                                   [0.2, 0.2, 0.2]))
+            kp = full_out['pfe']['keypoints']
+            labels = jax.vmap(functools.partial(
+                pfe_lib.assign_keypoint_seg_targets, extra_width=extra))(
+                kp, batch['gt_boxes'], batch['gt_mask'])
+            preds = full_out['pfe']['point_cls_preds']
+            seg = pfe_lib.keypoint_seg_loss(
+                preds.reshape(-1, preds.shape[-1]), labels.reshape(-1),
+                num_class=preds.shape[-1])
+            seg = seg * ph_cfg.LOSS_CONFIG.LOSS_WEIGHTS.get(
+                'point_cls_weight', 1.0)
+            metrics['point_loss_cls'] = seg
+            total = total + seg
+
         # ---- rcnn (two-stage) losses ---------------------------------------
         if 'rcnn' in full_out and 'roi_targets' in full_out:
-            from . import roi_heads as roi_lib
-            rcnn = full_out['rcnn']
-            rt = full_out['roi_targets']
-            roi_lw = self.model_cfg.ROI_HEAD.LOSS_CONFIG.LOSS_WEIGHTS
-            c_loss2 = roi_lib.rcnn_cls_loss(
-                rcnn['rcnn_cls'], rt['rcnn_cls_labels'])
-            c_loss2 = c_loss2 * roi_lw['rcnn_cls_weight']
-            metrics['rcnn_loss_cls'] = c_loss2
-            r_loss2, parts2 = roi_lib.rcnn_reg_loss(
-                rcnn['rcnn_reg'], rcnn.get('rcnn_reg_std'),
-                rt['rois'], rt['gt_of_rois_ct'], rt['gt_of_rois_src'],
-                rt['gt_unc_of_rois'], rt['reg_valid_mask'],
-                self.box_coder, roi_lw,
-                kl_label='rcnn_reg_std' in rcnn,
-                corner_weight=roi_lw.get('rcnn_corner_weight', 1.0),
-                code_weights=list(roi_lw.get('code_weights', [1.0] * 7)))
-            metrics['rcnn_loss_reg'] = r_loss2
-            metrics.update(parts2)
-            total = total + c_loss2 + r_loss2
+            rcnn_total, rcnn_metrics = self._rcnn_loss(full_out)
+            total = total + rcnn_total
+            metrics.update(rcnn_metrics)
 
         metrics['loss'] = total
         return total, metrics
+
+    def _rcnn_loss(self, full_out):
+        """Shared second-stage losses: BCE cls on iou labels + (KL or plain)
+        smooth-L1 reg + corner loss (roi_head_template.py:163-272)."""
+        from . import roi_heads as roi_lib
+        rcnn = full_out['rcnn']
+        rt = full_out['roi_targets']
+        roi_lw = self.model_cfg.ROI_HEAD.LOSS_CONFIG.LOSS_WEIGHTS
+        metrics = {}
+        c_loss = roi_lib.rcnn_cls_loss(
+            rcnn['rcnn_cls'], rt['rcnn_cls_labels'])
+        c_loss = c_loss * roi_lw['rcnn_cls_weight']
+        metrics['rcnn_loss_cls'] = c_loss
+        r_loss, parts = roi_lib.rcnn_reg_loss(
+            rcnn['rcnn_reg'], rcnn.get('rcnn_reg_std'),
+            rt['rois'], rt['gt_of_rois_ct'], rt['gt_of_rois_src'],
+            rt['gt_unc_of_rois'], rt['reg_valid_mask'],
+            self.box_coder, roi_lw,
+            kl_label='rcnn_reg_std' in rcnn,
+            corner_weight=roi_lw.get('rcnn_corner_weight', 1.0),
+            code_weights=list(roi_lw.get('code_weights', [1.0] * 7)))
+        metrics['rcnn_loss_reg'] = r_loss
+        metrics.update(parts)
+        return c_loss + r_loss, metrics
 
     def _point_loss(self, out, batch):
         """PointHeadBox loss (point_head_box.py / point_head_template.py)."""
@@ -556,7 +729,7 @@ class Detector:
         full_out = self.net.apply(
             variables, batch['points'], batch['points_mask'], train=False)
 
-        if 'point_head' in full_out:
+        if 'point_head' in full_out and 'rcnn' not in full_out:
             out = full_out['point_head']
             cls = jax.nn.sigmoid(out['point_cls_preds'])       # (B, N, C)
             cls = jnp.where(out['point_mask'][..., None], cls, 0.0)

@@ -134,15 +134,21 @@ def sample_rois_single(rng, rois, roi_scores, roi_labels, gt_boxes, gt_mask,
 
     reg_valid = (out_iou > reg_fg_thresh).astype(jnp.int32)
 
-    # roi_iou soft labels (CLS_SCORE_TYPE: roi_iou)
-    fg_m = out_iou > cls_fg_thresh
-    bg_m = out_iou < cls_bg_thresh
-    interval = (~fg_m) & (~bg_m)
-    cls_labels = fg_m.astype(jnp.float32)
-    cls_labels = jnp.where(
-        interval,
-        (out_iou - cls_bg_thresh) / (cls_fg_thresh - cls_bg_thresh),
-        cls_labels)
+    if cfg.get('CLS_SCORE_TYPE', 'roi_iou') == 'cls':
+        # hard labels with an ignored band (proposal_target_layer.py:43-50)
+        cls_labels = (out_iou > cls_fg_thresh).astype(jnp.float32)
+        ignore = (out_iou > cls_bg_thresh) & (out_iou < cls_fg_thresh)
+        cls_labels = jnp.where(ignore, -1.0, cls_labels)
+    else:
+        # roi_iou soft labels (CLS_SCORE_TYPE: roi_iou)
+        fg_m = out_iou > cls_fg_thresh
+        bg_m = out_iou < cls_bg_thresh
+        interval = (~fg_m) & (~bg_m)
+        cls_labels = fg_m.astype(jnp.float32)
+        cls_labels = jnp.where(
+            interval,
+            (out_iou - cls_bg_thresh) / (cls_fg_thresh - cls_bg_thresh),
+            cls_labels)
 
     return {
         'rois': out_rois, 'gt_of_rois_src': out_gt, 'roi_ious': out_iou,
@@ -383,6 +389,61 @@ class VoxelRCNNHead(nn.Module):
             out['rcnn_cls'] = jnp.log((p + 1e-6) / (1 - p + 1e-6))
             out['rcnn_reg_std'] = reg_std
         return out
+
+
+class PVRCNNHead(nn.Module):
+    """PV-RCNN RoI grid pooling head (reference roi_heads/pvrcnn_head.py:8):
+    6^3 grid points per roi aggregate keypoint features with multi-radius
+    ball queries (StackSAModuleMSG), then shared/cls/reg FC stacks identical
+    in shape to the reference's make_fc_layers."""
+    model_cfg: Any
+    code_size: int = 7
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, rois, kp_xyz, kp_feats, train: bool = True):
+        """rois (B, R, 7); kp_xyz (B, K, 3); kp_feats (B, K, C) —
+        already weighted by keypoint fg scores (pvrcnn_head.py:85).
+        Returns dict rcnn_cls (B*R, 1), rcnn_reg (B*R, code_size)."""
+        from flax.core import unfreeze
+        from ..config import Cfg
+        from .layers import MaskedBatchNorm
+        from .pfe import StackSAModuleMSG
+        mcfg = Cfg(unfreeze(self.model_cfg))
+        pool_cfg = mcfg.ROI_GRID_POOL
+        g = int(pool_cfg.GRID_SIZE)
+        b, r = rois.shape[:2]
+        flat_rois = rois.reshape(b * r, -1)
+        grid_pts = roi_grid_points(flat_rois, g).reshape(b, r * g ** 3, 3)
+
+        kp_mask = jnp.ones(kp_xyz.shape[:2], bool)
+        pooled = StackSAModuleMSG(
+            radii=tuple(pool_cfg.POOL_RADIUS),
+            nsamples=tuple(pool_cfg.NSAMPLE),
+            mlps=tuple(tuple(m) for m in pool_cfg.MLPS),
+            axis_name=self.axis_name, name='roi_grid_pool')(
+            grid_pts, kp_xyz, kp_feats, kp_mask, train=train)
+        feats = pooled.reshape(b * r, g ** 3 * pooled.shape[-1])
+
+        def fc_stack(x, sizes, name):
+            for i, s in enumerate(sizes):
+                x = nn.Dense(s, use_bias=False, name=f'{name}_{i}')(x)
+                x = MaskedBatchNorm(axis_name=self.axis_name,
+                                    name=f'{name}_bn{i}')(
+                    x, use_running_average=not train)
+                x = nn.relu(x)
+                if i == 0 and train and mcfg.get('DP_RATIO', 0) > 0:
+                    x = nn.Dropout(mcfg.DP_RATIO,
+                                   deterministic=not train)(x)
+            return x
+
+        shared = fc_stack(feats, mcfg.SHARED_FC, 'shared')
+        cls_feat = fc_stack(shared, mcfg.CLS_FC, 'cls_fc')
+        rcnn_cls = nn.Dense(1, name='cls_pred')(cls_feat)
+        reg_feat = fc_stack(shared, mcfg.REG_FC, 'reg_fc')
+        rcnn_reg = nn.Dense(self.code_size, name='reg_pred',
+                            kernel_init=nn.initializers.normal(0.001))(reg_feat)
+        return {'rcnn_cls': rcnn_cls, 'rcnn_reg': rcnn_reg}
 
 
 # ---------------------------------------------------------------------------
