@@ -1,12 +1,18 @@
 """Benchmark entry point (driver contract): prints ONE JSON line
 {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
-Current flagship benchmark: PointPillars KITTI (full-size config) single-scene
-inference throughput on one chip — raw points in, NMS'd boxes out, everything
-(voxelization included) inside one jit program.  Baseline constant: the
-reference publishes no throughput numbers (BASELINE.md); we use 60 scans/s as
-the A100-class PointPillars batch-1 figure (OpenPCDet-era GPUs run 40-60 FPS)
-until a measured reference baseline exists.  vs_baseline = value / 60.
+Headline metric: **GLENet-VR** (the flagship two-stage probabilistic
+Voxel R-CNN, configs/kitti_models/GLENet_VR.yaml at full KITTI scale)
+single-chip end-to-end inference throughput — raw clustered points in,
+variance-voting-NMS'd boxes out, everything (voxelization included) inside
+one jit program.  Secondary lines (printed to stderr): SECOND and
+PointPillars.
+
+Baseline constant: the reference publishes no throughput numbers
+(BASELINE.md).  Voxel R-CNN-class detectors run ~25 FPS batch-1 on
+A100-class GPUs (Voxel R-CNN paper reports 25 FPS on a 2080 Ti; A100
+OpenPCDet runs land 25-40 FPS), so vs_baseline = value / 25.  Scenes are
+synthetic but KITTI-like: 32768 points, ground plane + car-sized clusters.
 """
 import json
 import sys
@@ -14,72 +20,68 @@ import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent / 'tools'))
 
 import numpy as np
 
-A100_POINTPILLARS_SCANS_PER_SEC = 60.0
-MAX_POINTS = 32768
-BATCH = 1
+A100_VOXELRCNN_SCANS_PER_SEC = 25.0
+BATCH = 2
+N_ITER = 20
 
 
-def make_scene(rng, n_points=MAX_POINTS):
-    """Synthetic KITTI-like scene (points clustered near the ground)."""
-    pts = np.zeros((n_points, 4), np.float32)
-    pts[:, 0] = rng.uniform(0, 69.12, n_points)
-    pts[:, 1] = rng.uniform(-39.68, 39.68, n_points)
-    pts[:, 2] = rng.normal(-1.0, 0.5, n_points)
-    pts[:, 3] = rng.uniform(0, 1, n_points)
-    return pts
-
-
-def main():
+def bench_predict(cfg_path, batches):
     import jax
     import jax.numpy as jnp
 
     from glenet_tpu.config import cfg_from_yaml_file
     from glenet_tpu.models.detectors import build_detector
 
-    cfg = cfg_from_yaml_file(
-        str(Path(__file__).parent / 'configs/kitti_models/pointpillar.yaml'))
+    cfg = cfg_from_yaml_file(cfg_path)
     det = build_detector(cfg)
-
-    rng = np.random.RandomState(0)
-    def batch_of(seed):
-        r = np.random.RandomState(seed)
-        return {
-            'points': jnp.asarray(
-                np.stack([make_scene(r) for _ in range(BATCH)])),
-            'points_mask': jnp.ones((BATCH, MAX_POINTS), bool),
-        }
-
-    batch = batch_of(0)
-    variables = det.init(jax.random.PRNGKey(0), batch | {
-        'gt_boxes': jnp.zeros((BATCH, 1, 8)),
-        'gt_mask': jnp.zeros((BATCH, 1), bool),
-        'gt_uncertainty': jnp.ones((BATCH, 1, 7)),
-    })
-
+    variables = det.init(jax.random.PRNGKey(0), batches[0])
     predict = jax.jit(lambda v, b: det.predict(v, b))
-    # warmup / compile
-    out = predict(variables, batch)
+    out = predict(variables, batches[0])
     jax.block_until_ready(out)
 
-    n_iter = 20
-    batches = [batch_of(i) for i in range(n_iter)]
     t0 = time.time()
     outs = []
     for b in batches:
         outs.append(predict(variables, b)['final_scores'])
     jax.block_until_ready(outs)
     dt = time.time() - t0
-    scans_per_sec = n_iter * BATCH / dt
+    return len(batches) * BATCH / dt
 
+
+def main():
+    from bench_model import make_batch
+
+    rng = np.random.RandomState(0)
+    batches = [make_batch(np.random.RandomState(i)) for i in range(N_ITER)]
+
+    root = Path(__file__).resolve().parent
+    # the headline (driver contract) runs first so later models can't
+    # exhaust device memory before it completes
+    sps = bench_predict(str(root / 'configs/kitti_models/GLENet_VR.yaml'),
+                        batches)
     print(json.dumps({
-        'metric': 'pointpillar_kitti_scans_per_sec_1chip',
-        'value': round(scans_per_sec, 2),
+        'metric': 'glenet_vr_kitti_e2e_scans_per_sec_1chip',
+        'value': round(sps, 2),
         'unit': 'scans/s',
-        'vs_baseline': round(scans_per_sec / A100_POINTPILLARS_SCANS_PER_SEC, 3),
+        'vs_baseline': round(sps / A100_VOXELRCNN_SCANS_PER_SEC, 3),
     }))
+    sys.stdout.flush()
+
+    # secondary lines to stderr (not part of the driver contract)
+    for name, cfgf in [('second', 'configs/kitti_models/second.yaml'),
+                       ('pointpillar', 'configs/kitti_models/pointpillar.yaml')]:
+        try:
+            import jax
+            jax.clear_caches()
+            sps = bench_predict(str(root / cfgf), batches)
+            print(f'[secondary] {name}: {sps:.1f} scans/s', file=sys.stderr)
+        except Exception as e:  # secondary lines must not break the contract
+            print(f'[secondary] {name} failed: {type(e).__name__}',
+                  file=sys.stderr)
 
 
 if __name__ == '__main__':
