@@ -92,12 +92,22 @@ class DetectorNet(nn.Module):
             from .spconv_backbone import build_backbone_3d
             self.backbone_3d = build_backbone_3d(
                 bb3d_cfg, grid_size=self.grid_size,
-                max_voxels=self.max_voxels, axis_name=self.axis_name)
+                max_voxels=self.max_voxels, axis_name=self.axis_name,
+                voxel_size=self.voxel_size, pc_range=self.pc_range)
 
         self.point_head = None
         self.point_head_simple = None
         ph_cfg = mcfg.get('POINT_HEAD', None)
-        if ph_cfg is not None and ph_cfg.get('NAME') == 'PointHeadSimple':
+        self.part_head = None
+        if ph_cfg is not None and ph_cfg.get('NAME') == 'PointIntraPartOffsetHead':
+            from .point_heads import PointIntraPartOffsetHead
+            self.part_head = PointIntraPartOffsetHead(
+                num_class=(1 if ph_cfg.get('CLASS_AGNOSTIC', True)
+                           else self.num_class),
+                cls_fc=tuple(ph_cfg.get('CLS_FC', [])),
+                part_fc=tuple(ph_cfg.get('PART_FC', [])),
+                axis_name=self.axis_name)
+        elif ph_cfg is not None and ph_cfg.get('NAME') == 'PointHeadSimple':
             from .pfe import PointHeadSimple
             self.point_head_simple = PointHeadSimple(
                 num_class=(1 if ph_cfg.get('CLASS_AGNOSTIC', True)
@@ -179,7 +189,14 @@ class DetectorNet(nn.Module):
 
         roi_cfg = mcfg.get('ROI_HEAD', None)
         self._roi_is_pvrcnn = False
-        if roi_cfg is not None and roi_cfg.NAME == 'PVRCNNHead':
+        self._roi_is_parta2 = False
+        if roi_cfg is not None and roi_cfg.NAME == 'PartA2FCHead':
+            from .roi_heads import PartA2FCHead
+            self._roi_is_parta2 = True
+            self.roi_head = PartA2FCHead(
+                model_cfg=roi_cfg, code_size=self._coder.code_size,
+                axis_name=self.axis_name)
+        elif roi_cfg is not None and roi_cfg.NAME == 'PVRCNNHead':
             from .roi_heads import PVRCNNHead
             self._roi_is_pvrcnn = True
             self.roi_head = PVRCNNHead(
@@ -274,6 +291,16 @@ class DetectorNet(nn.Module):
 
         spatial_2d = self.backbone_2d(spatial, train=train)
         out = {'dense_head': self.dense_head(spatial_2d, train=train)}
+
+        # ---- UNet voxel-point part head (PartA2) ---------------------------
+        part_out = None
+        if self.part_head is not None:
+            part_out = self.part_head(sp_out['point_features'],
+                                      sp_out['point_mask'], train=train)
+            part_out['point_coords'] = sp_out['point_coords']
+            part_out['point_mask'] = sp_out['point_mask']
+            out['part_head'] = part_out
+
         if self.roi_head is None:
             return out
 
@@ -350,7 +377,21 @@ class DetectorNet(nn.Module):
         else:
             roi_in = rois
 
-        if self._roi_is_pvrcnn:
+        if self._roi_is_parta2:
+            # part feature assembly (partA2_head.py:118-126): sigmoid part
+            # offsets + detached seg score, xyz zeroed below the seg thresh
+            roi_mcfg2 = Cfg(unfreeze(self._mcfg))
+            thresh = float(roi_mcfg2.ROI_HEAD.get('SEG_MASK_SCORE_THRESH',
+                                                  0.3))
+            score = jax.lax.stop_gradient(
+                jax.nn.sigmoid(part_out['point_cls_preds']).max(axis=-1))
+            offs = jax.nn.sigmoid(part_out['point_part_preds'])
+            offs = jnp.where((score >= thresh)[..., None], offs, 0.0)
+            part_feats = jnp.concatenate([offs, score[..., None]], axis=-1)
+            out['rcnn'] = self.roi_head(
+                roi_in, sp_out['point_coords'], sp_out['point_features'],
+                part_feats, sp_out['point_mask'], train=train)
+        elif self._roi_is_pvrcnn:
             out['rcnn'] = self.roi_head(
                 roi_in, vsa['keypoints'], kp_feats_weighted, train=train)
         else:
@@ -610,6 +651,30 @@ class Detector:
                 self.box_coder)
             metrics['loss_iou'] = i_loss
             total = total + i_loss
+
+        # ---- UNet part head losses (PartA2 PointIntraPartOffsetHead) -------
+        if 'part_head' in full_out:
+            from . import point_heads as ph_lib
+            po = full_out['part_head']
+            ph_cfg = self.model_cfg.POINT_HEAD
+            extra = tuple(ph_cfg.TARGET_CONFIG.get('GT_EXTRA_WIDTH',
+                                                   [0.2, 0.2, 0.2]))
+            seg_l, part_l, fg = jax.vmap(functools.partial(
+                ph_lib.assign_part_targets, extra_width=extra))(
+                po['point_coords'], po['point_mask'],
+                batch['gt_boxes'], batch['gt_mask'])
+            lw = ph_cfg.LOSS_CONFIG.LOSS_WEIGHTS
+            flat = {
+                'point_cls_preds': po['point_cls_preds'].reshape(
+                    -1, po['point_cls_preds'].shape[-1]),
+                'point_part_preds': po['point_part_preds'].reshape(-1, 3),
+            }
+            c_l, p_l = ph_lib.intra_part_loss(
+                flat, seg_l.reshape(-1), part_l.reshape(-1, 3),
+                fg.reshape(-1), lw)
+            metrics['point_loss_cls'] = c_l
+            metrics['point_loss_part'] = p_l
+            total = total + c_l + p_l
 
         # ---- keypoint segmentation loss (PV-RCNN PointHeadSimple) ----------
         if 'pfe' in full_out:

@@ -49,6 +49,86 @@ class PointHeadBox(nn.Module):
         return {'point_cls_preds': cls, 'point_box_preds': box}
 
 
+class PointIntraPartOffsetHead(nn.Module):
+    """Part-aware point head (PartA2, reference point_intra_part_head.py):
+    per-point (voxel-point) foreground segmentation + intra-object part
+    location in [0,1]^3.  PartA2.yaml uses empty CLS_FC/PART_FC, i.e.
+    single linear output layers."""
+    num_class: int = 1
+    cls_fc: Sequence[int] = ()
+    part_fc: Sequence[int] = ()
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, point_features, mask, train: bool = True):
+        def stack(x, sizes, name):
+            for i, s in enumerate(sizes):
+                x = nn.Dense(s, use_bias=False, name=f'{name}_{i}')(x)
+                x = MaskedBatchNorm(axis_name=self.axis_name,
+                                    name=f'{name}_bn{i}')(
+                    x, mask=mask, use_running_average=not train)
+                x = nn.relu(x)
+            return x
+
+        cls = nn.Dense(self.num_class, name='cls_out')(
+            stack(point_features, self.cls_fc, 'cls'))
+        part = nn.Dense(3, name='part_out')(
+            stack(point_features, self.part_fc, 'part'))
+        return {'point_cls_preds': cls, 'point_part_preds': part}
+
+
+def assign_part_targets(points_xyz, points_mask, gt_boxes, gt_mask,
+                        extra_width=(0.2, 0.2, 0.2)):
+    """Seg labels (1 fg / -1 ignore / 0 bg, class-agnostic) + intra-part
+    location targets in [0,1]^3 (point_head_template.py:114-122:
+    rotate(point - center, -heading) / dims + 0.5)."""
+    from ..utils import common
+    inside = box_utils.points_in_boxes(points_xyz, gt_boxes[:, :7])
+    inside = inside & gt_mask[None, :]
+    m = gt_boxes.shape[0]
+    enlarged = gt_boxes[:, :7] + jnp.concatenate(
+        [jnp.zeros((m, 3)),
+         jnp.broadcast_to(jnp.asarray(extra_width), (m, 3)),
+         jnp.zeros((m, 1))], axis=1)
+    inside_big = box_utils.points_in_boxes(points_xyz, enlarged) \
+        & gt_mask[None, :]
+    box_idx = inside.argmax(axis=1)
+    is_fg = inside.any(axis=1) & points_mask
+    is_ignore = inside_big.any(axis=1) & ~is_fg & points_mask
+    seg = jnp.where(is_fg, 1, 0)
+    seg = jnp.where(is_ignore, -1, seg)
+
+    gt_of = gt_boxes[box_idx]                                  # (N, 8)
+    local = common.rotate_points_along_z(
+        (points_xyz - gt_of[:, 0:3])[:, None, :], -gt_of[:, 6])[:, 0]
+    part = jnp.clip(local / gt_of[:, 3:6] + 0.5, 0.0, 1.0)
+    part = jnp.where(is_fg[:, None], part, 0.0)
+    return seg, part, is_fg
+
+
+def intra_part_loss(out, seg_labels, part_labels, fg_mask, loss_weights):
+    """Focal seg + BCE part over fg (point_head_template.py:131-168)."""
+    cls_preds = out['point_cls_preds']
+    cared = seg_labels >= 0
+    pos = seg_labels > 0
+    num_class = cls_preds.shape[-1]
+    one_hot = jax.nn.one_hot(jnp.clip(seg_labels, 0, None), num_class + 1,
+                             dtype=cls_preds.dtype)[:, 1:]
+    w = cared.astype(jnp.float32) / jnp.clip(pos.sum(), 1.0, None)
+    cls_loss = losses.sigmoid_focal_loss(
+        cls_preds[None], one_hot[None], w[None]).sum()
+    cls_loss = cls_loss * loss_weights.get('point_cls_weight', 1.0)
+
+    part_prob = jax.nn.sigmoid(out['point_part_preds'])
+    bce = -(part_labels * jnp.log(jnp.clip(part_prob, 1e-7, None))
+            + (1 - part_labels) * jnp.log(jnp.clip(1 - part_prob, 1e-7,
+                                                   None)))
+    part_loss = (bce.mean(axis=-1) * fg_mask).sum() \
+        / jnp.clip(fg_mask.sum(), 1.0, None)
+    part_loss = part_loss * loss_weights.get('point_part_weight', 1.0)
+    return cls_loss, part_loss
+
+
 def assign_point_targets(points_xyz, points_mask, gt_boxes, gt_mask,
                          box_coder, extra_width=(0.2, 0.2, 0.2)):
     """Per-sample point targets (point_head_template.py assign_stack_targets).

@@ -446,6 +446,83 @@ class PVRCNNHead(nn.Module):
         return {'rcnn_cls': rcnn_cls, 'rcnn_reg': rcnn_reg}
 
 
+class PartA2FCHead(nn.Module):
+    """Part-aggregation RoI head (reference roi_heads/partA2_head.py:10-224):
+    roiaware-pool the UNet voxel-point features (max) and the part/seg
+    features (avg) into per-roi (G, G, G) grids, run two small 3D conv
+    stacks over each (occupancy-masked dense convs — the TPU analogue of
+    the reference's per-roi sparse subm convs), concat, flatten, shared FC
+    + cls/reg stacks."""
+    model_cfg: Any
+    code_size: int = 7
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, rois, point_coords, point_feats, part_feats,
+                 point_mask, train: bool = True):
+        """rois (B, R, 7); point_coords (B, V, 3); point_feats (B, V, C);
+        part_feats (B, V, 4); point_mask (B, V)."""
+        from flax.core import unfreeze
+        from ..config import Cfg
+        from ..ops import roiaware_pool
+        from .layers import MaskedBatchNorm
+        from .spconv_backbone import DenseConvBN
+        mcfg = Cfg(unfreeze(self.model_cfg))
+        pool_cfg = mcfg.ROI_AWARE_POOL
+        g = int(pool_cfg.POOL_SIZE)
+        c0 = int(pool_cfg.NUM_FEATURES) // 2
+        b, r = rois.shape[:2]
+
+        pooled_part = jax.vmap(functools.partial(
+            roiaware_pool.roiaware_pool3d, out_size=g, method='avg'))(
+            point_coords, part_feats, rois, points_mask=point_mask)
+        pooled_rpn = jax.vmap(functools.partial(
+            roiaware_pool.roiaware_pool3d, out_size=g, method='max'))(
+            point_coords, point_feats, rois, points_mask=point_mask)
+        pooled_part = pooled_part.reshape(b * r, g, g, g, -1)
+        pooled_rpn = pooled_rpn.reshape(b * r, g, g, g, -1)
+        # occupancy from the part grid (partA2_head.py:186-188)
+        occ = (pooled_part != 0).any(axis=-1)
+
+        def conv_stack(x, occ, name):
+            x, _ = DenseConvBN(64, 3, 1, 1, submanifold=True,
+                               axis_name=self.axis_name,
+                               name=f'{name}_0')(x, occ, train=train)
+            x, _ = DenseConvBN(c0, 3, 1, 1, submanifold=True,
+                               axis_name=self.axis_name,
+                               name=f'{name}_1')(x, occ, train=train)
+            return x
+
+        x_part = conv_stack(pooled_part, occ, 'conv_part')
+        x_rpn = conv_stack(pooled_rpn, occ, 'conv_rpn')
+        merged = jnp.concatenate([x_rpn, x_part], axis=-1)     # (BR,g,g,g,2c0)
+        feats = merged.reshape(b * r, -1)
+
+        def fc_stack(x, sizes, name, dropout_at=None):
+            for i, s in enumerate(sizes):
+                x = nn.Dense(s, use_bias=False, name=f'{name}_{i}')(x)
+                x = MaskedBatchNorm(axis_name=self.axis_name,
+                                    name=f'{name}_bn{i}')(
+                    x, use_running_average=not train)
+                x = nn.relu(x)
+                if (dropout_at is not None and i in dropout_at and train
+                        and mcfg.get('DP_RATIO', 0) > 0):
+                    x = nn.Dropout(mcfg.DP_RATIO,
+                                   deterministic=not train)(x)
+            return x
+
+        # reference: dropout after each shared FC except the last
+        n_shared = len(mcfg.SHARED_FC)
+        shared = fc_stack(feats, mcfg.SHARED_FC, 'shared',
+                          dropout_at=set(range(n_shared - 1)))
+        cls_feat = fc_stack(shared, mcfg.CLS_FC, 'cls_fc', dropout_at={0})
+        rcnn_cls = nn.Dense(1, name='cls_pred')(cls_feat)
+        reg_feat = fc_stack(shared, mcfg.REG_FC, 'reg_fc', dropout_at={0})
+        rcnn_reg = nn.Dense(self.code_size, name='reg_pred',
+                            kernel_init=nn.initializers.normal(0.001))(reg_feat)
+        return {'rcnn_cls': rcnn_cls, 'rcnn_reg': rcnn_reg}
+
+
 # ---------------------------------------------------------------------------
 # decode + losses (pure)
 # ---------------------------------------------------------------------------

@@ -87,6 +87,39 @@ class SparseConvBN(nn.Module):
         return out, out_ids, out_mask, ogrid
 
 
+class InverseConvBN(nn.Module):
+    """Inverse sparse conv + BN + ReLU: coarse-level features scattered back
+    onto the fine level's pre-existing active sites (spconv
+    SparseInverseConv3d with indice-key reuse, spconv_unet.py:118-131)."""
+    features: int
+    kernel_size: tuple
+    stride: tuple
+    padding: tuple
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, coarse_feats, coarse_ids, coarse_mask, fine_ids,
+                 fine_mask, fine_grid, train: bool = True):
+        """Returns (V_fine, C_out) features on the fine active set."""
+        cin = coarse_feats.shape[-1]
+        k_vol = int(np.prod(sparse._as3(self.kernel_size)))
+        w = self.param('kernel', nn.initializers.lecun_normal(),
+                       (k_vol, cin, self.features))
+
+        def one(f_ids, f_mask, c_ids, c_mask, c_feats):
+            table = sparse.inverse_gather_table(
+                f_ids, f_mask, c_ids, c_mask, fine_grid,
+                self.kernel_size, self.stride, self.padding)
+            return sparse.gather_gemm(c_feats, table, w)
+
+        out = jax.vmap(one)(fine_ids, fine_mask, coarse_ids, coarse_mask,
+                            coarse_feats)
+        out = MaskedBatchNorm(axis_name=self.axis_name)(
+            out, mask=fine_mask, use_running_average=not train)
+        out = nn.relu(out)
+        return jnp.where(fine_mask[..., None], out, 0.0)
+
+
 class DenseConvBN(nn.Module):
     """Masked dense 3D conv + BN + ReLU (NDHWC) — exact submanifold/strided
     sparse-conv semantics on a densified grid (zeros at inactive sites feed
@@ -283,8 +316,167 @@ class VoxelBackBone8x(nn.Module):
                 'num_bev_features': nz5 * c}
 
 
-def build_backbone_3d(bb3d_cfg, grid_size, max_voxels, axis_name=None):
+class UNetV2(nn.Module):
+    """Sparse-conv U-Net (PartA2 backbone, reference spconv_unet.py:49-212):
+    the VoxelBackBone8x encoder plus a decoder of UR blocks — lateral
+    SparseBasicBlock, concat with the bottom-up stream, merge subm conv,
+    channel_reduction residual, inverse sparse conv up one level.
+
+    Fully sparse at every level (unlike VoxelBackBone8x's dense tail): the
+    decoder needs the active-site tables of each level anyway, and the
+    merged-sort lookups make the sparse path cheap.
+
+    Outputs: bev_features (HeightCompression of the encoded conv_out
+    tensor), multi_scale (x_conv1..4), and per-voxel decoder features
+    (point_features/point_coords on the level-1 active set).
+    """
+    grid_size: tuple
+    max_voxels: int
+    voxel_size: tuple = (0.05, 0.05, 0.1)
+    pc_range: tuple = (0, -40, -3, 70.4, 40, 1)
+    channels: tuple = (16, 32, 64, 64)
+    out_channels: int = 128
+    axis_name: Optional[str] = None
+
+    @property
+    def sparse_grid(self):
+        nx, ny, nz = self.grid_size
+        return (nx, ny, nz + 1)
+
+    @nn.compact
+    def __call__(self, feats, coords, mask, train: bool = True):
+        grid1 = self.sparse_grid
+        nx, ny, nz = grid1
+        ids1 = jnp.where(
+            mask,
+            coords[..., 0] * (ny * nx) + coords[..., 1] * nx + coords[..., 2],
+            nx * ny * nz).astype(jnp.int32)
+        c1, c2, c3, c4 = self.channels
+        v = self.max_voxels
+        caps = (v, v, v // 2, v // 4)
+
+        def make_nbr(ids, m, grid):
+            return jax.vmap(
+                lambda i, mm: sparse.subm_neighbor_table(i, mm, grid, 3))(
+                ids, m)
+
+        def subm(x, ch, nbr, m, name, relu=True):
+            return SubMConvBN(ch, use_relu=relu, axis_name=self.axis_name,
+                              name=name)(x, nbr, m, train=train)
+
+        def basic_block(x, ch, nbr, m, name):
+            """SparseBasicBlock (spconv_unet.py:11-46)."""
+            h = subm(x, ch, nbr, m, f'{name}_c1')
+            h = subm(h, ch, nbr, m, f'{name}_c2', relu=False)
+            out = nn.relu(h + x)
+            return jnp.where(m[..., None], out, 0.0)
+
+        # ---- encoder -------------------------------------------------------
+        nbr1 = make_nbr(ids1, mask, grid1)
+        x = subm(feats, c1, nbr1, mask, 'conv_input')
+        x_conv1 = subm(x, c1, nbr1, mask, 'conv1_0')
+
+        x, ids2, mask2, grid2 = SparseConvBN(
+            c2, 3, 2, 1, out_cap=caps[1], axis_name=self.axis_name,
+            name='conv2_down')(x_conv1, ids1, mask, grid1, train=train)
+        nbr2 = make_nbr(ids2, mask2, grid2)
+        for j in range(2):
+            x = subm(x, c2, nbr2, mask2, f'conv2_{j}')
+        x_conv2 = x
+
+        x, ids3, mask3, grid3 = SparseConvBN(
+            c3, 3, 2, 1, out_cap=caps[2], axis_name=self.axis_name,
+            name='conv3_down')(x_conv2, ids2, mask2, grid2, train=train)
+        nbr3 = make_nbr(ids3, mask3, grid3)
+        for j in range(2):
+            x = subm(x, c3, nbr3, mask3, f'conv3_{j}')
+        x_conv3 = x
+
+        x, ids4, mask4, grid4 = SparseConvBN(
+            c4, 3, 2, (0, 1, 1), out_cap=caps[3], axis_name=self.axis_name,
+            name='conv4_down')(x_conv3, ids3, mask3, grid3, train=train)
+        nbr4 = make_nbr(ids4, mask4, grid4)
+        for j in range(2):
+            x = subm(x, c4, nbr4, mask4, f'conv4_{j}')
+        x_conv4 = x
+
+        # ---- encoded tensor for the detection head -------------------------
+        xo, ids5, mask5, grid5 = SparseConvBN(
+            self.out_channels, (3, 1, 1), (2, 1, 1), 0, out_cap=caps[3],
+            axis_name=self.axis_name, name='conv_out')(
+            x_conv4, ids4, mask4, grid4, train=train)
+        dense5 = jax.vmap(lambda f, i, m: sparse.to_dense(f, i, m, grid5))(
+            xo, ids5, mask5)                            # (B, D5, H5, W5, C)
+        b, nz5, ny5, nx5, co = dense5.shape
+        bev = jnp.transpose(dense5, (0, 2, 3, 1, 4)).reshape(
+            b, ny5, nx5, nz5 * co)
+
+        # ---- decoder (UR blocks, spconv_unet.py:137-149) --------------------
+        def ur_block(lateral, bottom, ch_out, nbr, m, name,
+                     inv_args=None):
+            ch = lateral.shape[-1]
+            trans = basic_block(lateral, ch, nbr, m, f'{name}_t')
+            cat = jnp.concatenate([bottom, trans], axis=-1)
+            merged = subm(cat, ch_out, nbr, m, f'{name}_m')
+            n_grp = cat.shape[-1] // ch_out
+            reduced = cat.reshape(*cat.shape[:-1], ch_out, n_grp).sum(-1)
+            fused = merged + reduced
+            if inv_args is None:                       # last level: subm conv
+                return subm(fused, ch_out, nbr, m, f'{name}_inv')
+            (c_ids, c_mask, f_ids, f_mask, f_grid, ks, st, pad,
+             inv_ch) = inv_args
+            return InverseConvBN(
+                inv_ch, ks, st, pad, axis_name=self.axis_name,
+                name=f'{name}_inv')(fused, c_ids, c_mask, f_ids, f_mask,
+                                    f_grid, train=train)
+
+        # reference channel flow (spconv_unet.py:113-135): m4 128->64,
+        # inv4 64->64; m3 128->64, inv3 64->32; m2 64->32, inv2 32->16;
+        # m1 32->16, conv5 16->16
+        x_up4 = ur_block(x_conv4, x_conv4, c4, nbr4, mask4, 'up4',
+                         (ids4, mask4, ids3, mask3, grid3, 3, 2, (0, 1, 1),
+                          c4))
+        x_up3 = ur_block(x_conv3, x_up4, c3, nbr3, mask3, 'up3',
+                         (ids3, mask3, ids2, mask2, grid2, 3, 2, 1, c2))
+        x_up2 = ur_block(x_conv2, x_up3, c2, nbr2, mask2, 'up2',
+                         (ids2, mask2, ids1, mask, grid1, 3, 2, 1, c1))
+        x_up1 = ur_block(x_conv1, x_up2, c1, nbr1, mask, 'up1', None)
+
+        # voxel centers of the level-1 active set
+        z1, y1, x1c = sparse.delinearize(jnp.where(mask, ids1, 0), grid1)
+        vs = jnp.asarray(self.voxel_size, jnp.float32)
+        origin = jnp.asarray(self.pc_range[:3], jnp.float32)
+        centers = (jnp.stack([x1c, y1, z1], -1).astype(jnp.float32) + 0.5) \
+            * vs + origin
+
+        ms = {
+            'x_conv1': {'kind': 'sparse', 'features': x_conv1, 'ids': ids1,
+                        'mask': mask, 'grid': grid1, 'stride': 1},
+            'x_conv2': {'kind': 'sparse', 'features': x_conv2, 'ids': ids2,
+                        'mask': mask2, 'grid': grid2, 'stride': 2},
+            'x_conv3': {'kind': 'sparse', 'features': x_conv3, 'ids': ids3,
+                        'mask': mask3, 'grid': grid3, 'stride': 4},
+            'x_conv4': {'kind': 'sparse', 'features': x_conv4, 'ids': ids4,
+                        'mask': mask4, 'grid': grid4, 'stride': 8},
+        }
+        return {'bev_features': bev, 'multi_scale': ms,
+                'num_bev_features': nz5 * co,
+                'point_features': x_up1,               # (B, V, 16)
+                'point_coords': centers,               # (B, V, 3)
+                'point_mask': mask}
+
+
+def build_backbone_3d(bb3d_cfg, grid_size, max_voxels, axis_name=None,
+                      voxel_size=None, pc_range=None):
     name = bb3d_cfg.NAME
+    if name == 'UNetV2':
+        kwargs = {}
+        if voxel_size is not None:
+            kwargs['voxel_size'] = tuple(voxel_size)
+        if pc_range is not None:
+            kwargs['pc_range'] = tuple(pc_range)
+        return UNetV2(grid_size=tuple(grid_size), max_voxels=max_voxels,
+                      axis_name=axis_name, **kwargs)
     if name == 'VoxelBackBone8x':
         return VoxelBackBone8x(grid_size=tuple(grid_size),
                                max_voxels=max_voxels, axis_name=axis_name)

@@ -252,6 +252,46 @@ def strided_gather_table(in_ids, in_mask, out_ids, out_mask, grid,
     return jnp.where(found, pos, v_in).astype(jnp.int32)
 
 
+def inverse_gather_table(fine_ids, fine_mask, coarse_ids, coarse_mask,
+                         fine_grid, kernel_size, stride, padding):
+    """Gather table for an INVERSE sparse conv (spconv SparseInverseConv3d
+    with indice-key reuse): features live on the coarse grid (the strided
+    conv's output), outputs are produced at the fine grid's pre-existing
+    active sites (the strided conv's input sites).
+
+    For fine site i and kernel tap k, the contributing coarse site is
+    o = (i + p - k) / s where divisible & in range (the transpose of the
+    strided-conv relation i = o*s - p + k).
+
+    Returns (K, V_fine) slot indices into the coarse table, with V_coarse
+    as the padding row.
+    """
+    kz, ky, kx = _as3(kernel_size)
+    sz, sy, sx = _as3(stride)
+    pz, py, px = _as3(padding)
+    ogrid = out_grid_size(fine_grid, kernel_size, stride, padding)
+    onx, ony, onz = ogrid
+    n_out_cells = onx * ony * onz
+    v_coarse = coarse_ids.shape[0]
+
+    z, y, x = delinearize(jnp.where(fine_mask, fine_ids, 0), fine_grid)
+    offs = jnp.asarray(kernel_offsets(kernel_size), jnp.int32)
+
+    cz = z[None, :] + pz - offs[:, 0:1]
+    cy = y[None, :] + py - offs[:, 1:2]
+    cx = x[None, :] + px - offs[:, 2:3]
+    divisible = (cz % sz == 0) & (cy % sy == 0) & (cx % sx == 0)
+    oz, oy, ox = cz // sz, cy // sy, cx // sx
+    valid = (fine_mask[None, :] & divisible
+             & (oz >= 0) & (oz < onz) & (oy >= 0) & (oy < ony)
+             & (ox >= 0) & (ox < onx))
+    tid = jnp.where(valid, oz * (ony * onx) + oy * onx + ox, n_out_cells)
+    pos = jnp.clip(merged_searchsorted(coarse_ids, tid), 0, v_coarse - 1)
+    found = valid & (coarse_ids[pos] == tid) & (tid < n_out_cells) \
+        & coarse_mask[pos]
+    return jnp.where(found, pos, v_coarse).astype(jnp.int32)
+
+
 def to_dense(features, ids, mask, grid):
     """(V, C) sparse -> (nz, ny, nx, C) dense."""
     nx, ny, nz = grid

@@ -55,9 +55,11 @@ def main():
     from test_second import make_batch
     from test_pointrcnn import make_two_stage_cfg
     from test_pvrcnn import make_pvrcnn_cfg
+    from test_parta2 import make_parta2_cfg
 
     for name, cfg in [('pointrcnn2', make_two_stage_cfg()),
-                      ('pvrcnn', make_pvrcnn_cfg())]:
+                      ('pvrcnn', make_pvrcnn_cfg()),
+                      ('parta2', make_parta2_cfg())]:
         det = build_detector(cfg)
         batch = make_batch(np.random.RandomState(1), n_points=256)
         variables = det.init(jax.random.PRNGKey(0), batch)
