@@ -285,9 +285,126 @@ class DataAugmentor:
                 sc = cfg.WORLD_SCALE_RANGE
                 self.queue.append(
                     lambda d, s=sc: random_world_scaling(d, s, self.rng))
+            elif cfg.NAME == 'noise_per_object':
+                self.queue.append(
+                    lambda d, c=cfg: self._noise_per_object(d, c))
+            elif cfg.NAME == 'random_world_translation':
+                self.queue.append(
+                    lambda d, c=cfg: self._world_translation(d, c))
+            elif cfg.NAME == 'random_local_translation':
+                self.queue.append(
+                    lambda d, c=cfg: self._local_translation(d, c))
+            elif cfg.NAME == 'random_local_rotation':
+                self.queue.append(
+                    lambda d, c=cfg: self._local_rotation(d, c))
+            elif cfg.NAME == 'random_local_scaling':
+                self.queue.append(
+                    lambda d, c=cfg: self._local_scaling(d, c))
+            elif cfg.NAME == 'random_world_frustum_dropout':
+                self.queue.append(
+                    lambda d, c=cfg: self._world_frustum(d, c))
+            elif cfg.NAME == 'random_local_frustum_dropout':
+                self.queue.append(
+                    lambda d, c=cfg: self._local_frustum(d, c))
+            elif cfg.NAME == 'random_local_pyramid_aug':
+                self.queue.append(
+                    lambda d, c=cfg: self._pyramid_aug(d, c))
             else:
                 if logger:
                     logger.warning(f'augmentor {cfg.NAME} not implemented; skipped')
+
+    # ---- config-driven wrappers over augmentor_utils ------------------------
+
+    def _noise_per_object(self, d, cfg):
+        from . import augmentor_utils as au
+        valid = d.get('gt_boxes_mask',
+                      np.ones(d['gt_boxes'].shape[0], bool))
+        rot = cfg.get('GT_ROTATION_NOISE', [-np.pi / 4, np.pi / 4])
+        d['gt_boxes'], d['points'] = au.noise_per_object(
+            d['gt_boxes'], d['points'], valid_mask=valid,
+            rotation_perturb=rot,
+            center_noise_std=cfg.get('GT_LOC_NOISE_STD', [1.0, 1.0, 0.5]),
+            num_try=int(cfg.get('NUM_TRY', 100)), rng=self.rng)
+        return d
+
+    def _world_translation(self, d, cfg):
+        from . import augmentor_utils as au
+        std = cfg.get('NOISE_TRANSLATE_STD', 0)
+        # pointpillar_newaugs.yaml predates the NOISE_TRANSLATE_STD rename
+        # and carries WORLD_TRANSLATION_RANGE (a uniform range); accept both
+        rng_cfg = cfg.get('WORLD_TRANSLATION_RANGE', None)
+        if std == 0 and rng_cfg is None:
+            return d
+        for axis in cfg.ALONG_AXIS_LIST:
+            if std:
+                d['gt_boxes'], d['points'] = au.random_translation_along_axis(
+                    d['gt_boxes'], d['points'], std, axis, self.rng)
+            else:
+                off = self.rng.uniform(rng_cfg[0], rng_cfg[1])
+                ax = au._AXIS[axis]
+                d['points'] = d['points'].copy()
+                d['gt_boxes'] = d['gt_boxes'].copy()
+                d['points'][:, ax] += off
+                d['gt_boxes'][:, ax] += off
+        return d
+
+    def _local_translation(self, d, cfg):
+        from . import augmentor_utils as au
+        for axis in cfg.ALONG_AXIS_LIST:
+            d['gt_boxes'], d['points'] = \
+                au.random_local_translation_along_axis(
+                    d['gt_boxes'], d['points'],
+                    cfg.LOCAL_TRANSLATION_RANGE, axis, self.rng)
+        return d
+
+    def _local_rotation(self, d, cfg):
+        from . import augmentor_utils as au
+        rot = cfg.LOCAL_ROT_ANGLE
+        if not isinstance(rot, (list, tuple)):
+            rot = [-rot, rot]
+        d['gt_boxes'], d['points'] = au.local_rotation(
+            d['gt_boxes'], d['points'], rot, self.rng)
+        return d
+
+    def _local_scaling(self, d, cfg):
+        from . import augmentor_utils as au
+        d['gt_boxes'], d['points'] = au.local_scaling(
+            d['gt_boxes'], d['points'], cfg.LOCAL_SCALE_RANGE, self.rng)
+        return d
+
+    def _world_frustum(self, d, cfg):
+        from . import augmentor_utils as au
+        for direction in cfg.DIRECTION:
+            gt, pts, keep_b = au.global_frustum_dropout(
+                d['gt_boxes'], d['points'], cfg.INTENSITY_RANGE, direction,
+                self.rng)
+            d['gt_boxes'], d['points'] = gt, pts
+            for key in ('gt_names', 'gt_boxes_mask', 'gt_uncertaintys'):
+                if key in d:
+                    d[key] = d[key][keep_b]
+        return d
+
+    def _local_frustum(self, d, cfg):
+        from . import augmentor_utils as au
+        for direction in cfg.DIRECTION:
+            d['gt_boxes'], d['points'] = au.local_frustum_dropout(
+                d['gt_boxes'], d['points'], cfg.INTENSITY_RANGE, direction,
+                self.rng)
+        return d
+
+    def _pyramid_aug(self, d, cfg):
+        from . import augmentor_utils as au
+        gt, pts = d['gt_boxes'], d['points']
+        gt, pts, pyr = au.local_pyramid_dropout(gt, pts, cfg.DROP_PROB,
+                                                self.rng)
+        gt, pts, pyr = au.local_pyramid_sparsify(
+            gt, pts, cfg.SPARSIFY_PROB, int(cfg.SPARSIFY_MAX_NUM),
+            self.rng, pyramids=pyr)
+        gt, pts = au.local_pyramid_swap(gt, pts, cfg.SWAP_PROB,
+                                        int(cfg.SWAP_MAX_NUM), self.rng,
+                                        pyramids=pyr)
+        d['gt_boxes'], d['points'] = gt, pts
+        return d
 
     def __call__(self, data_dict):
         for aug in self.queue:
