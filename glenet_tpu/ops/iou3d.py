@@ -166,6 +166,22 @@ def boxes_iou_bev(boxes_a, boxes_b):
     return overlap / jnp.clip(area_a + area_b - overlap, 1e-6, None)
 
 
+def boxes_iou_bev_blocked(boxes_a, boxes_b, block_rows: int = 512):
+    """Row-blocked (N, M) rotated BEV IoU: identical result to
+    boxes_iou_bev, but the polygon-clipping intermediates are bounded to
+    (block_rows, M, ...) — the full pairwise form materializes
+    O(N*M*4*stages) corner temporaries, which at 9000x9000 exceeds HBM
+    (the true cause of the round-1 NMS_PRE_MAXSIZE=9000 'fault')."""
+    n = boxes_a.shape[0]
+    if n <= block_rows:
+        return boxes_iou_bev(boxes_a, boxes_b)
+    pad = (-n) % block_rows
+    padded = jnp.pad(boxes_a, ((0, pad), (0, 0)))
+    blocks = padded.reshape(-1, block_rows, boxes_a.shape[1])
+    out = jax.lax.map(lambda blk: boxes_iou_bev(blk, boxes_b), blocks)
+    return out.reshape(-1, boxes_b.shape[0])[:n]
+
+
 @jax.jit
 def boxes_iou3d(boxes_a, boxes_b):
     """(N, 7) x (M, 7) -> (N, M) 3D IoU.

@@ -110,7 +110,7 @@ def nms_bev(boxes, scores, iou_threshold, pre_max: int = 4096,
     pre_max = min(pre_max, n)
     boxes_s, scores_s, order = _topk_boxes(boxes, scores, pre_max)
     live = scores_s > score_threshold
-    iou = iou3d.boxes_iou_bev(boxes_s, boxes_s)
+    iou = iou3d.boxes_iou_bev_blocked(boxes_s, boxes_s)
     keep = greedy_keep(iou > iou_threshold, live)
     keep_idx, keep_valid = _first_k_kept(keep, post_max)
     return order[keep_idx], keep_valid
@@ -148,7 +148,7 @@ def soft_nms(boxes, scores, score_threshold: float = 0.1,
     n = boxes.shape[0]
     pre_max = min(pre_max, n)
     boxes_s, scores_s, order = _topk_boxes(boxes, scores, pre_max)
-    iou_mat = iou3d.boxes_iou_bev(boxes_s, boxes_s)
+    iou_mat = iou3d.boxes_iou_bev_blocked(boxes_s, boxes_s)
     live = jnp.where(scores_s >= score_threshold, scores_s, _NEG_INF)
 
     def body(k, state):
@@ -237,7 +237,7 @@ def variance_voting_nms(boxes, scores, variance, iou_threshold,
     boxes_s, scores_s, order = _topk_boxes(boxes, scores, pre_max)
     var_s = variance[order]
     live = scores_s >= score_threshold
-    iou = iou3d.boxes_iou_bev(boxes_s, boxes_s)                # (P, P)
+    iou = iou3d.boxes_iou_bev_blocked(boxes_s, boxes_s)        # (P, P)
     supp = iou > iou_threshold
     keep = greedy_keep(supp, live)
 
