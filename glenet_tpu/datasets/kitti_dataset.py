@@ -273,12 +273,18 @@ class KittiDataset:
             batch['calib'] = [it['calib'] for it in items]
         return batch
 
-    def iter_batches(self, batch_size, shuffle=None, seed=0, drop_last=None):
+    def iter_batches(self, batch_size, shuffle=None, seed=0, drop_last=None,
+                     process_rank=0, process_count=1):
+        """Per-host batches; when process_count > 1 the (epoch-seeded)
+        shuffled index space is strided across hosts — the TPU-native
+        replacement for DistributedSampler (SURVEY.md §2.5)."""
         shuffle = self.training if shuffle is None else shuffle
         drop_last = self.training if drop_last is None else drop_last
         order = np.arange(len(self))
         if shuffle:
             np.random.RandomState(seed).shuffle(order)
+        if process_count > 1:
+            order = order[process_rank::process_count]
         n = len(order)
         for s in range(0, n, batch_size):
             idx = order[s:s + batch_size]

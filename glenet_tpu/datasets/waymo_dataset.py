@@ -157,12 +157,16 @@ class WaymoDataset:
         from .kitti_dataset import KittiDataset
         return KittiDataset.collate_batch(items)
 
-    def iter_batches(self, batch_size, shuffle=None, seed=0, drop_last=None):
+    def iter_batches(self, batch_size, shuffle=None, seed=0, drop_last=None,
+                     process_rank=0, process_count=1):
+        """Per-host batches (strided index sharding across hosts)."""
         shuffle = self.training if shuffle is None else shuffle
         drop_last = self.training if drop_last is None else drop_last
         order = np.arange(len(self))
         if shuffle:
             np.random.RandomState(seed).shuffle(order)
+        if process_count > 1:
+            order = order[process_rank::process_count]
         for s in range(0, len(order), batch_size):
             idx = order[s:s + batch_size]
             if len(idx) < batch_size:

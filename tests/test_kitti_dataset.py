@@ -1,6 +1,7 @@
 """Full host data pipeline on a synthetic mini-KITTI tree: info generation,
 gt-database creation, augmented training items, fixed-shape collation, and
 prediction-dict round trip into the evaluator."""
+import copy
 import pickle
 
 import numpy as np
@@ -192,3 +193,51 @@ def test_eval_roundtrip_perfect_predictions(kitti_root):
     # with 2 gts only, AP can't reach 100 (41-point metric), but recall
     # should be perfect at some threshold -> AP must be > 0
     assert ret['Car_3d/moderate_R11'] > 0, result_str
+
+
+def test_dataset_registry(kitti_root):
+    """build_dataset dispatches on DATA_CONFIG.DATASET (reference
+    datasets/__init__.py:47-76)."""
+    from glenet_tpu.datasets import build_dataset
+    cfg = copy.deepcopy(DATASET_CFG)
+    cfg.DATA_PATH = str(kitti_root)
+    ds = build_dataset(cfg, ['Car'], training=False)
+    assert type(ds).__name__ == 'KittiDataset'
+    assert len(ds) > 0
+    with pytest.raises(NotImplementedError):
+        bad = copy.deepcopy(cfg)
+        bad.DATASET = 'NopeDataset'
+        build_dataset(bad, ['Car'])
+
+
+def test_iter_batches_per_host_sharding(kitti_root):
+    """Two virtual hosts see disjoint frames; reinterleaving the per-host
+    anno lists reconstructs dataset order (the tools/test.py merge)."""
+    from glenet_tpu.datasets import build_dataset
+    cfg = copy.deepcopy(DATASET_CFG)
+    cfg.DATA_PATH = str(kitti_root)
+    ds = build_dataset(cfg, ['Car'], training=False)
+    world = 2
+
+    def frames_of(rank):
+        out = []
+        n_local = (len(ds) + world - 1 - rank) // world
+        n = 0
+        for batch in ds.iter_batches(1, shuffle=False, drop_last=False,
+                                     process_rank=rank, process_count=world):
+            n_real = min(1, n_local - n)
+            out.extend(list(batch['frame_id'][:n_real]))
+            n += n_real
+            if n >= n_local:
+                break
+        return out
+
+    parts = [frames_of(0), frames_of(1)]
+    assert not (set(parts[0]) & set(parts[1]))
+    merged = [parts[i % world][i // world] for i in range(len(ds))]
+    all_frames = []
+    for batch in ds.iter_batches(1, shuffle=False, drop_last=False):
+        all_frames.extend(list(batch['frame_id'][:1]))
+        if len(all_frames) >= len(ds):
+            break
+    assert merged == all_frames[:len(ds)]

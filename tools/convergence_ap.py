@@ -1,0 +1,213 @@
+"""Accuracy-convergence evidence: overfit GLENet-VR (full KITTI-scale
+config) on a small synthetic scene set on the real TPU chip, then score it
+with the official KITTI evaluator (glenet_tpu/eval/kitti_eval.py).
+
+This closes the loop the op-level tests can't: target assignment ->
+KL losses -> proposal NMS -> roi sampling -> corner-aggregation pooling ->
+rcnn refinement -> variance-voting NMS -> camera-frame annos -> matched AP.
+A subtly-wrong component anywhere caps the achievable AP.
+
+Usage: python tools/convergence_ap.py [n_steps]
+Writes CONVERGENCE_AP.json at the repo root.
+"""
+import json
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+import numpy as np
+
+N_SCENES = 16
+BATCH = 2  # batch 4 roi pooling exceeds single-chip HBM in the train step
+MAX_POINTS = 20000
+N_GT = 8
+
+CALIB = {
+    'P2': np.array([[707.05, 0., 604.08, 45.76],
+                    [0., 707.05, 180.51, -0.35],
+                    [0., 0., 1., 0.005]], np.float32),
+    'P3': np.array([[707.05, 0., 604.08, -337.58],
+                    [0., 707.05, 180.51, 2.37],
+                    [0., 0., 1., 0.005]], np.float32),
+    'R0': np.eye(3, dtype=np.float32),
+    'Tr_velo2cam': np.array([[0., -1., 0., 0.],
+                             [0., 0., -1., -0.08],
+                             [1., 0., 0., -0.27]], np.float32),
+}
+
+
+def car_surface_points(rng, box, n=350):
+    """Sample points on the walls + roof of a box (lidar-like surfaces)."""
+    x, y, z, dx, dy, dz, ry = box
+    faces = [('x+', dy * dz), ('x-', dy * dz), ('y+', dx * dz),
+             ('y-', dx * dz), ('z+', dx * dy)]
+    areas = np.array([a for _, a in faces])
+    pick = rng.choice(len(faces), size=n, p=areas / areas.sum())
+    u = rng.uniform(-0.5, 0.5, n)
+    v = rng.uniform(-0.5, 0.5, n)
+    local = np.zeros((n, 3))
+    for i, (name, _) in enumerate(faces):
+        m = pick == i
+        if name[0] == 'x':
+            local[m] = np.stack([np.full(m.sum(), 0.5 if name == 'x+'
+                                         else -0.5) * dx,
+                                 u[m] * dy, v[m] * dz], 1)
+        elif name[0] == 'y':
+            local[m] = np.stack([u[m] * dx,
+                                 np.full(m.sum(), 0.5 if name == 'y+'
+                                         else -0.5) * dy, v[m] * dz], 1)
+        else:
+            local[m] = np.stack([u[m] * dx, v[m] * dy,
+                                 np.full(m.sum(), 0.5) * dz], 1)
+    c, s = np.cos(ry), np.sin(ry)
+    gx = local[:, 0] * c - local[:, 1] * s + x
+    gy = local[:, 0] * s + local[:, 1] * c + y
+    gz = local[:, 2] + z
+    return np.stack([gx, gy, gz], 1)
+
+
+def make_scene(seed):
+    rng = np.random.RandomState(seed)
+    n_cars = rng.randint(3, N_GT)
+    gt = np.zeros((N_GT, 8), np.float32)
+    gt_mask = np.zeros(N_GT, bool)
+    placed = []
+    for g in range(n_cars):
+        for _ in range(20):
+            cx, cy = rng.uniform(8, 55), rng.uniform(-18, 18)
+            if all((cx - px) ** 2 + (cy - py) ** 2 > 36 for px, py in placed):
+                placed.append((cx, cy))
+                break
+        dims = [rng.uniform(3.6, 4.3), rng.uniform(1.5, 1.8),
+                rng.uniform(1.4, 1.7)]
+        gt[g] = [placed[-1][0], placed[-1][1], -1.0 + dims[2] / 2 - 0.8,
+                 *dims, rng.uniform(-np.pi, np.pi), 1]
+        gt_mask[g] = True
+
+    pts = [car_surface_points(rng, gt[g, :7]) for g in range(n_cars)]
+    n_ground = MAX_POINTS - sum(len(p) for p in pts)
+    ground = np.stack([rng.uniform(0, 69, n_ground),
+                       rng.uniform(-39, 39, n_ground),
+                       rng.normal(-1.8, 0.05, n_ground)], 1)
+    xyz = np.concatenate(pts + [ground])[:MAX_POINTS]
+    intens = np.random.RandomState(seed + 1).uniform(0, 1, (len(xyz), 1))
+    return np.concatenate([xyz, intens], 1).astype(np.float32), gt, gt_mask
+
+
+def to_annos(boxes_lidar, scores, calib, image_shape=(375, 1242)):
+    from glenet_tpu.utils import box_utils
+    if len(boxes_lidar) == 0:
+        return {'name': np.array([]), 'bbox': np.zeros((0, 4)),
+                'location': np.zeros((0, 3)), 'dimensions': np.zeros((0, 3)),
+                'rotation_y': np.zeros(0), 'alpha': np.zeros(0),
+                'occluded': np.zeros(0), 'truncated': np.zeros(0),
+                **({'score': np.zeros(0)} if scores is not None else {})}
+    cam = box_utils.boxes3d_lidar_to_kitti_camera(boxes_lidar, calib)
+    img = box_utils.boxes3d_kitti_camera_to_imageboxes(cam, calib,
+                                                       image_shape)
+    alpha = -np.arctan2(-boxes_lidar[:, 1], boxes_lidar[:, 0]) + cam[:, 6]
+    anno = {'name': np.array(['Car'] * len(cam)), 'bbox': img,
+            'location': cam[:, 0:3], 'dimensions': cam[:, 3:6],
+            'rotation_y': cam[:, 6], 'alpha': alpha,
+            'occluded': np.zeros(len(cam)), 'truncated': np.zeros(len(cam))}
+    if scores is not None:
+        anno['score'] = scores
+    return anno
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from glenet_tpu.config import cfg_from_yaml_file
+    from glenet_tpu.eval import kitti_eval
+    from glenet_tpu.models.detectors import build_detector
+    from glenet_tpu.utils.calibration_kitti import Calibration
+
+    n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 600
+    cfg = cfg_from_yaml_file(str(ROOT / 'configs/kitti_models/GLENet_VR.yaml'))
+    cfg.MODEL.POST_PROCESSING.POST_SCORE_THRESH = 0.1
+    cfg.MODEL.POST_PROCESSING.SCORE_THRESH = 0.05
+    det = build_detector(cfg)
+
+    scenes = [make_scene(s) for s in range(N_SCENES)]
+
+    def batch_of(idxs):
+        pts = np.stack([scenes[i][0] for i in idxs])
+        gt = np.stack([scenes[i][1] for i in idxs])
+        gm = np.stack([scenes[i][2] for i in idxs])
+        return {
+            'points': jnp.asarray(pts),
+            'points_mask': jnp.ones((len(idxs), MAX_POINTS), bool),
+            'gt_boxes': jnp.asarray(gt),
+            'gt_mask': jnp.asarray(gm),
+            'gt_uncertainty': jnp.full((len(idxs), N_GT, 7), 0.05,
+                                       jnp.float32),
+        }
+
+    batches = [batch_of(list(range(i, i + BATCH)))
+               for i in range(0, N_SCENES, BATCH)]
+
+    variables = det.init(jax.random.PRNGKey(0), batches[0])
+    sched = optax.cosine_onecycle_schedule(n_steps, peak_value=3e-3,
+                                           pct_start=0.3)
+    tx = optax.chain(optax.clip_by_global_norm(10.0),
+                     optax.adamw(sched, weight_decay=0.01))
+    params = variables['params']
+    mstate = {k: v for k, v in variables.items() if k != 'params'}
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, mstate, opt_state, batch, key):
+        def lf(p):
+            return det.loss_fn({'params': p, **mstate}, batch, rng=key)
+        (loss, (m, ns)), grads = jax.value_and_grad(lf, has_aux=True)(params)
+        u, o2 = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, u), ns, o2, loss
+
+    t0 = time.time()
+    for i in range(n_steps):
+        b = batches[i % len(batches)]
+        params, mstate, opt_state, loss = step(
+            params, mstate, opt_state, b, jax.random.PRNGKey(i))
+        if i % 100 == 0 or i == n_steps - 1:
+            print(f'step {i}: loss={float(loss):.3f} '
+                  f'({time.time() - t0:.0f}s)')
+
+    # ---- evaluate on the training scenes (overfit target: AP -> 100) ------
+    predict = jax.jit(lambda v, b: det.predict(v, b))
+    calib = Calibration(CALIB)
+    gt_annos, dt_annos = [], []
+    for bi, b in enumerate(batches):
+        preds = predict({'params': params, **mstate}, b)
+        fb = np.asarray(preds['final_boxes'])
+        fs = np.asarray(preds['final_scores'])
+        fv = np.asarray(preds['final_valid'])
+        for k in range(fb.shape[0]):
+            scene_idx = bi * BATCH + k
+            gt, gm = scenes[scene_idx][1], scenes[scene_idx][2]
+            gt_annos.append(to_annos(gt[gm][:, :7], None, calib))
+            dt_annos.append(to_annos(fb[k][fv[k]], fs[k][fv[k]], calib))
+
+    result_str, ret = kitti_eval.get_official_eval_result(
+        gt_annos, dt_annos, ['Car'])
+    print(result_str)
+    out = {
+        'model': 'GLENet_VR (full config, synthetic overfit)',
+        'n_scenes': N_SCENES, 'n_steps': n_steps,
+        'final_loss': float(loss),
+        'Car_3d_moderate_R40': ret.get('Car_3d/moderate_R40'),
+        'Car_3d_moderate_R11': ret.get('Car_3d/moderate_R11'),
+        'Car_bev_moderate_R40': ret.get('Car_bev/moderate_R40'),
+        'wall_clock_s': round(time.time() - t0, 1),
+    }
+    (ROOT / 'CONVERGENCE_AP.json').write_text(json.dumps(out, indent=1))
+    print(json.dumps(out))
+
+
+if __name__ == '__main__':
+    main()

@@ -50,17 +50,24 @@ def eval_one_epoch(cfg, detector, variables, dataset, logger, batch_size=4,
     recall = {t: 0 for t in recall_thresh}
     total_gt = 0
 
+    from glenet_tpu.parallel import distributed
+    rank, world = distributed.get_dist_info()
+    n_local = (len(dataset) + world - 1 - rank) // world if world > 1 \
+        else len(dataset)
+
     predict = jax.jit(lambda v, b: detector.predict(v, b))
     det_annos = []
     t0 = time.time()
     n_frames = 0
     for batch in dataset.iter_batches(batch_size, shuffle=False,
-                                      drop_last=False):
+                                      drop_last=False,
+                                      process_rank=rank,
+                                      process_count=world):
         arrays = {k: jnp.asarray(v) for k, v in batch.items()
                   if isinstance(v, np.ndarray)}
         preds = jax.device_get(predict(variables, arrays))
         # wrap-padded tail: only keep real frames
-        n_real = min(batch_size, len(dataset) - n_frames)
+        n_real = min(batch_size, n_local - n_frames)
         annos = dataset.generate_prediction_dicts(batch, preds)
         det_annos.extend(annos[:n_real])
 
@@ -83,7 +90,7 @@ def eval_one_epoch(cfg, detector, variables, dataset, logger, batch_size=4,
                 recall[t] += int((best > t).sum())
 
         n_frames += n_real
-        if n_frames >= len(dataset):
+        if n_frames >= n_local:
             break
     if total_gt > 0:
         for t in recall_thresh:
@@ -93,7 +100,15 @@ def eval_one_epoch(cfg, detector, variables, dataset, logger, batch_size=4,
     logger.info(f'eval: {len(det_annos)} frames, '
                 f'{sec_per_example:.4f} s/frame '
                 f'({1.0 / max(sec_per_example, 1e-9):.1f} scans/s)')
-    if result_dir is not None:
+    if world > 1:
+        # multi-host result merge: allgather replaces the reference's
+        # pickle-file + barrier merge (common_utils.py:202-223).  Frames
+        # were strided (rank r holds r, r+world, ...) — reinterleave back
+        # into dataset order.
+        parts = distributed.all_gather_objects(det_annos)
+        det_annos = [parts[i % world][i // world]
+                     for i in range(len(dataset))]
+    if result_dir is not None and rank == 0:
         result_dir.mkdir(parents=True, exist_ok=True)
         with open(result_dir / 'result.pkl', 'wb') as f:
             pickle.dump(det_annos, f)
@@ -104,9 +119,9 @@ def eval_one_epoch(cfg, detector, variables, dataset, logger, batch_size=4,
 
 def eval_checkpoint(cfg, detector, train_state, output_dir, logger,
                     batch_size=4):
-    from glenet_tpu.datasets.kitti_dataset import KittiDataset
-    dataset = KittiDataset(cfg.DATA_CONFIG, cfg.CLASS_NAMES, training=False,
-                           logger=logger)
+    from glenet_tpu.datasets import build_dataset
+    dataset = build_dataset(cfg.DATA_CONFIG, cfg.CLASS_NAMES, training=False,
+                            logger=logger)
     variables = {'params': train_state.params,
                  'batch_stats': train_state.batch_stats}
     return eval_one_epoch(cfg, detector, variables, dataset, logger,
@@ -116,7 +131,7 @@ def eval_checkpoint(cfg, detector, train_state, output_dir, logger,
 
 def main():
     args, cfg = parse_config()
-    from glenet_tpu.datasets.kitti_dataset import KittiDataset
+    from glenet_tpu.datasets import build_dataset
     from glenet_tpu.models.detectors import build_detector
     from glenet_tpu.train import checkpoint as ckpt_lib
     from glenet_tpu.train import optim as optim_lib
@@ -129,8 +144,8 @@ def main():
     batch_size = args.batch_size or int(cfg.OPTIMIZATION.BATCH_SIZE_PER_GPU)
 
     detector = build_detector(cfg)
-    dataset = KittiDataset(cfg.DATA_CONFIG, cfg.CLASS_NAMES, training=False,
-                           logger=logger)
+    dataset = build_dataset(cfg.DATA_CONFIG, cfg.CLASS_NAMES, training=False,
+                            logger=logger)
     tx, _ = optim_lib.build_optimizer(cfg.OPTIMIZATION, total_steps=1)
     example = next(dataset.iter_batches(batch_size, shuffle=False,
                                         drop_last=False))

@@ -37,6 +37,11 @@ def parse_config():
     parser.add_argument('--profile_steps', type=int, default=0,
                         help='capture an xprof trace of N train steps to '
                              '<output_dir>/profile')
+    parser.add_argument('--coordinator_address', type=str, default=None,
+                        help='multi-host: jax.distributed coordinator '
+                             '(host:port); single-host when omitted')
+    parser.add_argument('--num_processes', type=int, default=None)
+    parser.add_argument('--process_id', type=int, default=None)
     args = parser.parse_args()
 
     from glenet_tpu.config import cfg, cfg_from_list, cfg_from_yaml_file
@@ -50,8 +55,9 @@ def parse_config():
 
 def main():
     args, cfg = parse_config()
-    from glenet_tpu.datasets.kitti_dataset import KittiDataset
+    from glenet_tpu.datasets import build_dataset
     from glenet_tpu.models.detectors import build_detector
+    from glenet_tpu.parallel import distributed
     from glenet_tpu.parallel import mesh as mesh_lib
     from glenet_tpu.train import checkpoint as ckpt_lib
     from glenet_tpu.train import optim as optim_lib
@@ -62,14 +68,19 @@ def main():
                       f'output/{cfg.TAG}/{args.extra_tag}')
     ckpt_dir = output_dir / 'ckpt'
     output_dir.mkdir(parents=True, exist_ok=True)
-    logger = create_logger(output_dir / 'train.log')
+    distributed.initialize(args.coordinator_address, args.num_processes,
+                           args.process_id)
+    rank, world = distributed.get_dist_info()
+    logger = create_logger(output_dir / f'train_rank{rank}.log'
+                           if world > 1 else output_dir / 'train.log')
 
     batch_size = args.batch_size or int(cfg.OPTIMIZATION.BATCH_SIZE_PER_GPU)
     num_epochs = args.epochs or int(cfg.OPTIMIZATION.NUM_EPOCHS)
 
-    dataset = KittiDataset(cfg.DATA_CONFIG, cfg.CLASS_NAMES, training=True,
-                           logger=logger, seed=0)
-    steps_per_epoch = max(len(dataset) // batch_size, 1)
+    dataset = build_dataset(cfg.DATA_CONFIG, cfg.CLASS_NAMES, training=True,
+                            logger=logger, seed=0)
+    # per-host pipeline: this process sees len(dataset)/world samples
+    steps_per_epoch = max(len(dataset) // world // batch_size, 1)
     if args.max_steps_per_epoch:
         steps_per_epoch = min(steps_per_epoch, args.max_steps_per_epoch)
     total_steps = steps_per_epoch * num_epochs
@@ -86,7 +97,9 @@ def main():
     logger.info(f'devices: {n_dev}, batch {batch_size}, '
                 f'{steps_per_epoch} steps/epoch, {num_epochs} epochs')
 
-    example = next(dataset.iter_batches(batch_size, seed=0))
+    example = next(dataset.iter_batches(batch_size, seed=0,
+                                        process_rank=rank,
+                                        process_count=world))
     example = {k: jnp.asarray(v) for k, v in example.items()
                if isinstance(v, np.ndarray)}
     ts = state_lib.create_train_state(
@@ -108,7 +121,9 @@ def main():
     for epoch in range(start_epoch, num_epochs):
         t_epoch = time.time()
         for step_i, batch in enumerate(
-                dataset.iter_batches(batch_size, seed=epoch)):
+                dataset.iter_batches(batch_size, seed=epoch,
+                                     process_rank=rank,
+                                     process_count=world)):
             if step_i >= steps_per_epoch:
                 break
             # xprof capture window (skip compile step 0)
@@ -132,6 +147,8 @@ def main():
                     f'lr {float(lr_sched(it)):.6f} '
                     f'grad {float(metrics["grad_norm"]):.2f}')
         logger.info(f'epoch {epoch} done in {time.time() - t_epoch:.1f}s')
+        if rank != 0:
+            continue  # rank 0 owns checkpoints (reference train_utils.py:145)
         ckpt_lib.save_checkpoint(
             ckpt_lib.checkpoint_state(jax.device_get(ts), epoch, it),
             ckpt_dir, epoch, args.max_ckpt_save_num)
