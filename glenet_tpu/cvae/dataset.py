@@ -124,10 +124,20 @@ class KittiGtDataset:
         self.scale_range = dataset_cfg.get('RANDOM_SCALE_RANGE', [1.0, 1.0])
         self.angle_rot_max = dataset_cfg.get('ANGLE_ROT_MAX', 0.0)
         self.pos_shift_max = dataset_cfg.get('POS_SHIFT_MAX', 0.0)
+        self.anchor = ANCHOR
+        self.num_point_features = 4
         self.rng = np.random.RandomState()
 
     def __len__(self):
         return len(self.infos)
+
+    def _canonicalize(self, info, points):
+        """Hook between occlusion aug and flip/scale (Waymo azimuth
+        canonicalization overrides this)."""
+        return info, points
+
+    def _frame_key(self, info, index):
+        return info['image_idx'], info.get('gt_idx', index)
 
     def _load_points(self, info):
         path = self.root_path / info['path']
@@ -209,6 +219,8 @@ class KittiGtDataset:
                 points = self.occlude_aug(info, points, max_num=99999,
                                           min_num=1, max_try_time=5)
 
+        info, points = self._canonicalize(info, points)
+
         flip_mark = False
         noise_scale = 1.0
         if self.training:
@@ -224,7 +236,7 @@ class KittiGtDataset:
         else:
             x_mean = y_mean = z_mean = 0.0
 
-        dxa, dya, dza = ANCHOR
+        dxa, dya, dza = self.anchor
         diagonal = np.sqrt(dxa ** 2 + dya ** 2)
 
         pos_shift = np.zeros(2)
@@ -246,12 +258,14 @@ class KittiGtDataset:
             choice = self.rng.choice(points.shape[0], NUM_POINTS, replace=True)
             points = points[choice]
         else:
-            points = np.zeros((NUM_POINTS, 4), np.float32)
+            points = np.zeros((NUM_POINTS, self.num_point_features),
+                              np.float32)
 
+        frame, gid = self._frame_key(info, index)
         out = {
-            'points': points.astype(np.float32),   # (512, 4)
-            'frame_id': info['image_idx'],
-            'gt_id': info.get('gt_idx', index),
+            'points': points.astype(np.float32),   # (512, C)
+            'frame_id': frame,
+            'gt_id': gid,
         }
         if 'box3d_lidar' not in info:
             return out
@@ -300,9 +314,9 @@ class KittiGtDataset:
             yield self.collate([self[i] for i in idx])
 
 
-def denormalize_box(box7_norm):
+def denormalize_box(box7_norm, anchor=ANCHOR):
     """Invert the anchor normalization (for mapping predictions back)."""
-    dxa, dya, dza = ANCHOR
+    dxa, dya, dza = anchor
     diagonal = np.sqrt(dxa ** 2 + dya ** 2)
     out = np.asarray(box7_norm, np.float64).copy()
     out[..., 0] *= diagonal
@@ -312,3 +326,155 @@ def denormalize_box(box7_norm):
     out[..., 4] = np.exp(out[..., 4]) * dya
     out[..., 5] = np.exp(out[..., 5]) * dza
     return out
+
+
+WAYMO_ANCHOR = (4.7, 2.1, 1.7)
+WAYMO_RV_WIDTH = 2650
+WAYMO_RV_HEIGHT = 64
+
+
+def scan_to_rv_waymo(scan):
+    """Waymo range-view projection (reference cvae_uncertainty/dataset.py
+    :42-58): 2650x64, fov +30 / -90 deg."""
+    fov_up = 30 / 180.0 * np.pi
+    fov_down = -90.0 / 180.0 * np.pi
+    r = np.sqrt((scan[:, :3] ** 2).sum(axis=1))
+    u = 0.5 * (1 - np.arctan(scan[:, 1] / np.clip(scan[:, 0], 1e-6, None))
+               / np.pi) * WAYMO_RV_WIDTH
+    v = (1 - (np.arcsin(scan[:, 2] / np.clip(r, 1e-6, None)) + abs(fov_down))
+         / (fov_up + abs(fov_down))) * WAYMO_RV_HEIGHT
+    u = np.clip(np.floor(u), 0, WAYMO_RV_WIDTH - 1)
+    v = np.clip(np.floor(v), 0, WAYMO_RV_HEIGHT - 1)
+    return np.stack([u, v, r]).T
+
+
+class WaymoGtDataset(KittiGtDataset):
+    """Waymo per-object crop dataset (reference cvae_uncertainty/dataset.py
+    :532-880): 'Vehicle' dbinfos, 5-fold KFold(seed 42), 5-dim points
+    (x, y, z, intensity, elongation), Waymo vehicle anchor (4.7, 2.1, 1.7),
+    range-view occlusion without road-plane adjustment, and azimuth
+    canonicalization of each crop before normalization (:806-819)."""
+
+    def __init__(self, dataset_cfg, class_names=('Vehicle',), training=True,
+                 root_path=None, logger=None, infos=None):
+        self.dataset_cfg = dataset_cfg
+        self.training = training
+        self.root_path = Path(root_path if root_path is not None
+                              else dataset_cfg.DATA_PATH)
+        self.logger = logger
+        self.enable_similar_type = dataset_cfg.get('ENABLE_SIMILAR_TYPE',
+                                                   False)
+        if infos is not None:
+            used_infos = list(infos)
+        else:
+            name = dataset_cfg.get(
+                'DB_INFO_PATH',
+                'waymo_processed_data_v0_5_0_waymo_dbinfos_train_sampled_1.pkl')
+            with open(self.root_path / name, 'rb') as f:
+                db = pickle.load(f)
+            used_infos = list(db['Vehicle'])
+
+        if 'FOLD_IDX' in dataset_cfg:
+            from sklearn.model_selection import KFold
+            splits = KFold(n_splits=dataset_cfg.get('NUM_FOLDS', 5),
+                           shuffle=True, random_state=42)
+            fold_idx = dataset_cfg.FOLD_IDX
+            train_idx, val_idx = list(
+                splits.split(np.arange(len(used_infos))))[fold_idx]
+            sel = train_idx if training else val_idx
+            self.infos = [used_infos[i] for i in sel]
+        else:
+            self.infos = used_infos
+
+        self.dense_gt_infos = [x for x in self.infos
+                               if x.get('num_points_in_gt', 0) > 1000]
+        self.linear_anneal = 0.0
+        self.force_ratio = dataset_cfg.get('FORCE_RATIO', 0.0)
+        self.force_num = dataset_cfg.get('FORCE_NUM', 0)
+        self.enable_flip = dataset_cfg.get('ENABLE_FLIP', False)
+        self.scale_range = dataset_cfg.get('RANDOM_SCALE_RANGE', [1.0, 1.0])
+        self.angle_rot_max = dataset_cfg.get('ANGLE_ROT_MAX', 0.0)
+        self.pos_shift_max = 0.0
+        self.anchor = WAYMO_ANCHOR
+        self.num_point_features = 5
+        self.rng = np.random.RandomState()
+
+    def _load_points(self, info):
+        path = self.root_path / info['path']
+        return np.fromfile(str(path), dtype=np.float32).reshape(
+            -1, self.num_point_features)
+
+    def _frame_key(self, info, index):
+        return (f"{info['sequence_name']}#{info['sample_idx']}",
+                info.get('gt_idx', index))
+
+    def occlude_aug(self, info, points, max_num=99999, min_num=1,
+                    max_try_time=5):
+        """Waymo variant (:681-760): donor placed on the crop's ray
+        (no road-plane z fixup), occlusion via the Waymo range view."""
+        if not self.dense_gt_infos:
+            return points
+        dense_info = self.dense_gt_infos[
+            self.rng.randint(len(self.dense_gt_infos))]
+        dense_points = self._load_points(dense_info)
+        dense_gt_box = np.array(dense_info['box3d_lidar'], np.float64).copy()
+
+        scan = points.copy()
+        box = np.asarray(info['box3d_lidar'])
+        scan[:, :3] += box[:3]
+
+        scale = self.rng.random() * 0.4 + 0.5
+        new_c_x = box[0] * scale
+        if new_c_x + dense_gt_box[3] / 2 > box[0] - box[3] / 2:
+            new_c_x = box[0] - box[3] / 2 - dense_gt_box[3] / 2
+            scale = new_c_x / box[0] if box[0] != 0 else scale
+        new_c_y = box[1] * scale
+        dense_scan = dense_points.copy()
+        dense_scan[:, 0] += new_c_x
+        dense_scan[:, 1] += new_c_y
+        dense_scan[:, 2] += box[2]
+
+        rv_sample = scan_to_rv_waymo(scan)
+        rv_dense = scan_to_rv_waymo(dense_scan)
+        if len(rv_dense) == 0 or len(rv_sample) == 0:
+            return points
+
+        sx_min, sx_max = rv_sample[:, 0].min(), rv_sample[:, 0].max()
+        sy_min, sy_max = rv_sample[:, 1].min(), rv_sample[:, 1].max()
+        dx_min, dx_max = rv_dense[:, 0].min(), rv_dense[:, 0].max()
+        dy_min = rv_dense[:, 1].min()
+        x_move_min = 0.7 * sx_min + 0.3 * sx_max - dx_max
+        x_move_max = 0.3 * sx_min + 0.7 * sx_max - dx_min
+        y_move_min = 0.9 * sy_min + 0.1 * sy_max - dy_min
+        y_move_max = 0.5 * sy_min + 0.5 * sy_max - dy_min
+
+        rv_d = rv_dense.copy()
+        for _ in range(max_try_time + 1):
+            x_mv = self.rng.rand() * (x_move_max - x_move_min) + x_move_min
+            y_mv = self.rng.rand() * (y_move_max - y_move_min) + y_move_min
+            rv_d[:, 0] += x_mv
+            rv_d[:, 1] += y_mv
+            occluded = points_in_convex_hull_2d(rv_sample[:, :2],
+                                                rv_d[:, :2])
+            reserved = points[~occluded]
+            if min_num <= len(reserved) <= max_num:
+                return reserved
+        return points
+
+    def _canonicalize(self, info, points):
+        """Azimuth canonicalization (reference :806-819): rotate the crop
+        so the object's azimuth falls in a quarter-period canonical range.
+        Because the normalization is points-mean-centred, rotating the
+        box-relative crop about its own frame is equivalent to the
+        reference's scene-frame rotation."""
+        box = np.asarray(info['box3d_lidar'], np.float64).copy()
+        azimuth = np.arctan2(box[0], box[1])
+        new_azimuth = (azimuth + np.pi / 4) % (np.pi / 2) - np.pi / 4
+        trans_angle = new_azimuth - azimuth
+        c, s = np.cos(trans_angle), np.sin(trans_angle)
+        rot = np.array([[c, s, 0], [-s, c, 0], [0, 0, 1]], points.dtype)
+        points = points.copy()
+        points[:, :3] = points[:, :3] @ rot
+        box[6] = box[6] + trans_angle
+        info['box3d_lidar'] = box
+        return info, points

@@ -176,11 +176,41 @@ def change_gt_infos(uncertainty_map, kitti_infos, db_infos,
     return kitti_infos, db_infos
 
 
+def change_gt_infos_waymo(uncertainty_map, waymo_infos, db_infos,
+                          vehicle_class='Vehicle'):
+    """Waymo uncertainty injection (change_gt_infos_waymo.py:17-62):
+    per-frame key is '{sequence}#{sample_idx}', non-Vehicle annos get -1;
+    every Vehicle db entry gets info['uncertainty']."""
+    for info in waymo_infos:
+        frame_id = (info['point_cloud']['lidar_sequence'] + '#'
+                    + str(info['point_cloud']['sample_idx']))
+        names = info['annos']['name']
+        unc = []
+        for idx in range(len(names)):
+            if names[idx] != vehicle_class:
+                unc.append(np.full(7, -1.0))
+            else:
+                unc.append(np.asarray(uncertainty_map[f'{frame_id}_{idx}']))
+        info['annos']['uncertainty'] = (np.array(unc) if unc
+                                        else np.zeros((0, 7)))
+
+    for info in db_infos.get(vehicle_class, []):
+        frame_id = info['sequence_name'] + '#' + str(info['sample_idx'])
+        info['uncertainty'] = np.asarray(
+            uncertainty_map[f"{frame_id}_{info['gt_idx']}"])
+    return waymo_infos, db_infos
+
+
 def run_kfold_pipeline(cfg, root_path, n_folds=10, n_passes=30, seed=0,
                        logger=None, num_epochs=None, infos=None,
                        output_dir=None):
-    """Steps 1.1-1.3 of the label-uncertainty generation (SURVEY.md §3.5)."""
-    from .dataset import KittiGtDataset
+    """Steps 1.1-1.3 of the label-uncertainty generation (SURVEY.md §3.5).
+    DATA_CONFIG.DATASET selects the KITTI (10-fold) or Waymo (5-fold)
+    crop dataset."""
+    from .dataset import KittiGtDataset, WaymoGtDataset
+    ds_cls = (WaymoGtDataset
+              if cfg.DATA_CONFIG.get('DATASET') == 'WaymoGtDataset'
+              else KittiGtDataset)
     uncertainty_map = {}
     for fold in range(n_folds):
         fold_cfg = dict(cfg.DATA_CONFIG)
@@ -188,12 +218,12 @@ def run_kfold_pipeline(cfg, root_path, n_folds=10, n_passes=30, seed=0,
         fold_cfg['NUM_FOLDS'] = n_folds
         from ..config import Cfg
         fold_cfg = Cfg(fold_cfg)
-        train_ds = KittiGtDataset(fold_cfg, training=True,
-                                  root_path=root_path, logger=logger,
-                                  infos=infos)
-        val_ds = KittiGtDataset(fold_cfg, training=False,
-                                root_path=root_path, logger=logger,
-                                infos=infos)
+        train_ds = ds_cls(fold_cfg, training=True,
+                          root_path=root_path, logger=logger,
+                          infos=infos)
+        val_ds = ds_cls(fold_cfg, training=False,
+                        root_path=root_path, logger=logger,
+                        infos=infos)
         if logger:
             logger.info(f'fold {fold}: train {len(train_ds)} val {len(val_ds)}')
         gen, variables = train_cvae(cfg, train_ds, seed=seed + fold,

@@ -71,6 +71,7 @@ class AnchorHeadKLLabel(nn.Module):
     num_dir_bins: int = 0
     with_iou_branch: bool = False
     with_std_branch: bool = True
+    with_guide: bool = False   # AnchorHeadKLLabelIoUGuide (:441-518)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -83,17 +84,88 @@ class AnchorHeadKLLabel(nn.Module):
             'cls_preds': cls.reshape(*x.shape[:3], a, self.num_class),
             'box_preds': box.reshape(*x.shape[:3], a, self.code_size),
         }
+        std_raw = None
         if self.with_std_branch:
-            std = _head_conv(a * self.code_size, 'conv_box_std',
-                             kernel_init=nn.initializers.normal(0.0001))(x)
-            out['box_std_preds'] = std.reshape(*x.shape[:3], a, self.code_size)
+            std_raw = _head_conv(a * self.code_size, 'conv_box_std',
+                                 kernel_init=nn.initializers.normal(0.0001))(x)
+            out['box_std_preds'] = std_raw.reshape(*x.shape[:3], a,
+                                                   self.code_size)
         if self.num_dir_bins > 0:
             d = _head_conv(a * self.num_dir_bins, 'conv_dir_cls')(x)
             out['dir_cls_preds'] = d.reshape(*x.shape[:3], a, self.num_dir_bins)
         if self.with_iou_branch:
             iou = _head_conv(a * self.num_class, 'conv_iou',
                              kernel_init=nn.initializers.normal(0.001))(x)
+            if self.with_guide:
+                # variance-guided IoU rescaling (anchor_head_kl_label.py
+                # :449-471): sigmoid(1x1-conv MLP of the std map) gates iou
+                h = _head_conv(64, 'std_conv1',
+                               kernel_init=nn.initializers.normal(0.001))(
+                    std_raw)
+                h = nn.relu(h)
+                gate = _head_conv(1, 'std_conv2',
+                                  kernel_init=nn.initializers.normal(0.001))(h)
+                iou = iou * jax.nn.sigmoid(gate)
             out['iou_preds'] = iou.reshape(*x.shape[:3], a, self.num_class)
+        return out
+
+
+class AnchorHeadMulti(nn.Module):
+    """Grouped-class multi-head (reference anchor_head_multi.py:151-373):
+    a shared 3x3 conv, then one small head per class group with its own
+    cls/box/dir 1x1 convs over that group's anchors.
+
+    Output contract matches AnchorHeadSingle's global (B, H, W, A_total, .)
+    layout: per-head outputs are concatenated along the anchor axis (class
+    groups are contiguous in the anchor set) and each head's class logits
+    land in its global class columns, with a -20 constant logit
+    (sigmoid ~ 0) for classes a head never predicts — so every loss/decode
+    companion works unchanged.
+    """
+    num_class: int
+    class_names: tuple            # global class order
+    anchors_per_class: tuple      # per-class anchors per location (s*r)
+    head_groups: tuple            # tuple of tuples of class names
+    code_size: int = 7
+    num_dir_bins: int = 0
+    shared_ch: int = 64
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        from .layers import ConvBlock
+        if self.shared_ch:
+            x = ConvBlock(self.shared_ch, 3, 1, padding=1,
+                          axis_name=self.axis_name,
+                          name='shared_conv')(x, train=train)
+        b, h, w = x.shape[:3]
+        name_to_idx = {n: i for i, n in enumerate(self.class_names)}
+        cls_bias = nn.initializers.constant(-np.log((1 - 0.01) / 0.01))
+
+        cls_out, box_out, dir_out = [], [], []
+        for hi, group in enumerate(self.head_groups):
+            idxs = [name_to_idx[n] for n in group]
+            a_h = sum(self.anchors_per_class[i] for i in idxs)
+            n_h = len(group)
+            cls = _head_conv(a_h * n_h, f'head{hi}_conv_cls',
+                             bias_init=cls_bias)(x)
+            cls = cls.reshape(b, h, w, a_h, n_h)
+            full = jnp.full((b, h, w, a_h, self.num_class), -20.0, x.dtype)
+            for col, ci in enumerate(idxs):
+                full = full.at[..., ci].set(cls[..., col])
+            cls_out.append(full)
+            box = _head_conv(a_h * self.code_size, f'head{hi}_conv_box',
+                             kernel_init=nn.initializers.normal(0.001))(x)
+            box_out.append(box.reshape(b, h, w, a_h, self.code_size))
+            if self.num_dir_bins > 0:
+                d = _head_conv(a_h * self.num_dir_bins,
+                               f'head{hi}_conv_dir_cls')(x)
+                dir_out.append(d.reshape(b, h, w, a_h, self.num_dir_bins))
+
+        out = {'cls_preds': jnp.concatenate(cls_out, axis=3),
+               'box_preds': jnp.concatenate(box_out, axis=3)}
+        if dir_out:
+            out['dir_cls_preds'] = jnp.concatenate(dir_out, axis=3)
         return out
 
 

@@ -209,6 +209,7 @@ class DetectorNet(nn.Module):
                 voxel_size=self.voxel_size, pc_range=self.pc_range,
                 code_size=self._coder.code_size,
                 kl_label='KLLabel' in roi_cfg.NAME,
+                ple='Ple' in roi_cfg.NAME,
                 axis_name=self.axis_name)
         else:
             self.roi_head = None
@@ -223,7 +224,8 @@ class DetectorNet(nn.Module):
             self.dense_head = anchor_heads.AnchorHeadKLLabel(**common_kwargs)
         elif head_cfg.NAME in ('AnchorHeadKLLabelIoU', 'AnchorHeadKLLabelIoUGuide'):
             self.dense_head = anchor_heads.AnchorHeadKLLabel(
-                with_iou_branch=True, **common_kwargs)
+                with_iou_branch=True,
+                with_guide=head_cfg.NAME.endswith('Guide'), **common_kwargs)
         elif head_cfg.NAME == 'AnchorHeadKL':
             self.dense_head = anchor_heads.AnchorHeadKLLabel(**common_kwargs)
         elif head_cfg.NAME == 'AnchorHeadIoU':
@@ -231,6 +233,20 @@ class DetectorNet(nn.Module):
                 with_iou_branch=True, with_std_branch=False, **common_kwargs)
         elif head_cfg.NAME == 'AnchorHeadSessd':
             self.dense_head = anchor_heads.AnchorHeadSingle(**common_kwargs)
+        elif head_cfg.NAME == 'AnchorHeadMulti':
+            groups = tuple(tuple(h['HEAD_CLS_NAME'])
+                           for h in head_cfg.RPN_HEAD_CFGS)
+            names = tuple(self._anchor_set.class_names)
+            assert tuple(n for g in groups for n in g) == names, (
+                'RPN_HEAD_CFGS must partition CLASS_NAMES in anchor order')
+            per_class = tuple(sl.stop - sl.start
+                              for sl in self._anchor_set.class_slices)
+            self.dense_head = anchor_heads.AnchorHeadMulti(
+                num_class=self.num_class, class_names=names,
+                anchors_per_class=per_class, head_groups=groups,
+                code_size=self.code_size, num_dir_bins=num_dir_bins,
+                shared_ch=head_cfg.get('SHARED_CONV_NUM_FILTER', 64),
+                axis_name=self.axis_name)
         elif head_cfg.NAME == 'CenterHead':
             from .center_head import CenterHead
             self.dense_head = CenterHead(
@@ -528,6 +544,11 @@ class Detector:
             else None)
         self.match_height = head_cfg.get('TARGET_ASSIGNER_CONFIG', {}).get(
             'MATCH_HEIGHT', False)
+        self.target_assigner_name = head_cfg.get(
+            'TARGET_ASSIGNER_CONFIG', {}).get(
+            'NAME', 'AxisAlignedTargetAssigner')
+        self.atss_topk = int(head_cfg.get('TARGET_ASSIGNER_CONFIG', {}).get(
+            'TOPK', 9))
         self.use_kl_loss = 'KLLabel' in head_cfg.NAME
         self.use_kl_nolabel = head_cfg.NAME == 'AnchorHeadKL'
         self.use_odiou = head_cfg.NAME == 'AnchorHeadSessd'
@@ -590,11 +611,18 @@ class Detector:
         out = full_out['dense_head']
         if self.is_center_head:
             return self._center_loss(out, batch)
-        targets = jax.vmap(
-            lambda gb, gm, gu: target_assigner.assign_targets(
-                self.anchor_set, gb, gm, gu, self.box_coder,
-                match_height=self.match_height)
-        )(batch['gt_boxes'], batch['gt_mask'], batch['gt_uncertainty'])
+        if self.target_assigner_name == 'ATSSTargetAssigner':
+            targets = jax.vmap(
+                lambda gb, gm, gu: target_assigner.atss_assign_targets(
+                    self.anchor_set, gb, gm, gu, self.box_coder,
+                    topk=self.atss_topk, match_height=self.match_height)
+            )(batch['gt_boxes'], batch['gt_mask'], batch['gt_uncertainty'])
+        else:
+            targets = jax.vmap(
+                lambda gb, gm, gu: target_assigner.assign_targets(
+                    self.anchor_set, gb, gm, gu, self.box_coder,
+                    match_height=self.match_height)
+            )(batch['gt_boxes'], batch['gt_mask'], batch['gt_uncertainty'])
 
         flat = anchor_heads._flatten_preds(out)
         lw = self.loss_weights

@@ -297,6 +297,7 @@ class VoxelRCNNHead(nn.Module):
     pc_range: tuple
     code_size: int = 7
     kl_label: bool = True
+    ple: bool = False   # VoxelRCNNKLLabelIoUPleHead (MMoE expert gates)
     axis_name: Optional[str] = None
 
     @nn.compact
@@ -361,6 +362,9 @@ class VoxelRCNNHead(nn.Module):
                                    deterministic=not train)(x)
             return x
 
+        if self.ple:
+            return self._ple_tail(feats, mcfg, train)
+
         shared = fc_stack(feats, mcfg.SHARED_FC, 'shared')
         cls_feat = fc_stack(shared, mcfg.CLS_FC, 'cls_fc')
         ori_cls = nn.Dense(1, name='cls_pred')(cls_feat)
@@ -389,6 +393,55 @@ class VoxelRCNNHead(nn.Module):
             out['rcnn_cls'] = jnp.log((p + 1e-6) / (1 - p + 1e-6))
             out['rcnn_reg_std'] = reg_std
         return out
+
+    def _ple_tail(self, feats, mcfg, train):
+        """PLE/MMoE expert-gate tail (VoxelRCNNKLLabelIoUPleHead,
+        voxelrcnn_kl_label_iou_head.py:183-448): shared FC -> InitBlock
+        (3 experts, per-task softmax gates) -> LastBlock -> cls head from
+        task-a features, reg + reg_std heads from task-b features.  No
+        variance->confidence coupling in this variant."""
+        from .layers import MaskedBatchNorm
+        ch = int(mcfg.get('PLE_CHANNELS', 256))
+
+        def dense_bn_relu(x, n, name):
+            x = nn.Dense(n, use_bias=False, name=f'{name}_fc')(x)
+            x = MaskedBatchNorm(axis_name=self.axis_name,
+                                name=f'{name}_bn')(
+                x, use_running_average=not train)
+            return nn.relu(x)
+
+        shared = dense_bn_relu(feats, ch, 'shared')
+
+        # InitBlock (:183-227)
+        ea = dense_bn_relu(shared, ch, 'init_expert_a')
+        eb = dense_bn_relu(shared, ch, 'init_expert_b')
+        es = dense_bn_relu(shared, ch, 'init_expert_share')
+        wa = jax.nn.softmax(nn.Dense(2, name='init_gate_a')(shared), axis=1)
+        wb = jax.nn.softmax(nn.Dense(2, name='init_gate_b')(shared), axis=1)
+        ws = jax.nn.softmax(nn.Dense(3, name='init_gate_share')(shared),
+                            axis=1)
+        out_a = ea * wa[:, 0:1] + es * wa[:, 1:2]
+        out_b = eb * wb[:, 0:1] + es * wb[:, 1:2]
+        out_s = ea * ws[:, 0:1] + eb * ws[:, 1:2] + es * ws[:, 2:3]
+
+        # LastBlock (:278-318)
+        ea2 = dense_bn_relu(out_a, ch, 'last_expert_a')
+        eb2 = dense_bn_relu(out_b, ch, 'last_expert_b')
+        es2 = dense_bn_relu(out_s, ch, 'last_expert_share')
+        wa2 = jax.nn.softmax(nn.Dense(2, name='last_gate_a')(out_a), axis=1)
+        wb2 = jax.nn.softmax(nn.Dense(2, name='last_gate_b')(out_b), axis=1)
+        out_a = ea2 * wa2[:, 0:1] + es2 * wa2[:, 1:2]
+        out_b = eb2 * wb2[:, 0:1] + es2 * wb2[:, 1:2]
+
+        cls_feat = dense_bn_relu(out_a, ch, 'cls_fc')
+        rcnn_cls = nn.Dense(1, name='cls_pred')(cls_feat)
+        reg_feat = dense_bn_relu(out_b, ch, 'reg_fc')
+        rcnn_reg = nn.Dense(self.code_size, name='reg_pred')(reg_feat)
+        reg_std = nn.Dense(self.code_size, name='reg_std',
+                           kernel_init=nn.initializers.normal(0.0001))(
+            reg_feat)
+        return {'rcnn_cls': rcnn_cls, 'rcnn_reg': rcnn_reg,
+                'rcnn_reg_std': reg_std}
 
 
 class PVRCNNHead(nn.Module):

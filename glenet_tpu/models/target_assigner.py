@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import iou3d
-from ..utils import box_utils
+from ..utils import box_utils, common
 
 
 class TargetDict(NamedTuple):
@@ -122,5 +122,84 @@ def assign_targets(anchor_set, gt_boxes_with_cls, gt_mask, gt_uncertainty,
         box_cls_labels=labels,
         box_reg_targets=box_targets,
         reg_weights=(labels > 0).astype(jnp.float32),
+        label_uncertainty=unc,
+    )
+
+
+def atss_assign_targets(anchor_set, gt_boxes_with_cls, gt_mask,
+                        gt_uncertainty, box_coder, topk: int = 9,
+                        match_height: bool = False):
+    """ATSS adaptive assignment (reference atss_target_assigner.py:7-141).
+
+    Per gt: the `topk` center-closest anchors are candidates; the adaptive
+    IoU threshold is mean + std (unbiased) of candidate IoUs; positives are
+    candidates above it whose center lies inside the gt's BEV rectangle.
+    Each anchor takes its max-IoU positive gt; every gt's globally best
+    anchor is force-matched (later gts win ties, matching torch scatter
+    semantics).  Returns TargetDict over the full flat anchor set.
+    """
+    _BIG = 1e9
+    anchors = jnp.asarray(anchor_set.flat_anchors, jnp.float32)   # (N, 7)
+    n = anchors.shape[0]
+    gt_boxes = gt_boxes_with_cls[:, :7]
+    gt_cls = gt_boxes_with_cls[:, 7].astype(jnp.int32)
+    m = gt_boxes.shape[0]
+
+    if match_height:
+        iou = iou3d.boxes_iou3d(anchors, gt_boxes)                # (N, M)
+    else:
+        iou = iou3d.boxes_iou_bev_blocked(anchors, gt_boxes)
+    iou = jnp.where(gt_mask[None, :], iou, 0.0)
+
+    dist = jnp.linalg.norm(anchors[None, :, 0:3] - gt_boxes[:, None, 0:3],
+                           axis=-1)                               # (M, N)
+    k = min(topk, n)
+    _, topk_idxs = jax.lax.top_k(-dist, k)                        # (M, K)
+    cand_ious = jnp.take_along_axis(iou.T, topk_idxs, axis=1)     # (M, K)
+    mean = cand_ious.mean(axis=1)
+    std = jnp.sqrt(jnp.clip(
+        ((cand_ious - mean[:, None]) ** 2).sum(axis=1) / max(k - 1, 1),
+        0.0, None))
+    thresh = mean + std + 1e-6
+    is_pos = cand_ious >= thresh[:, None]                         # (M, K)
+
+    # candidate anchor center inside the gt BEV rect (reference's exact
+    # 'bugfixed' lw ordering, atss_target_assigner.py:108-112)
+    cand_xyz = anchors[topk_idxs][..., 0:3]                       # (M, K, 3)
+    local = common.rotate_points_along_z(
+        cand_xyz - gt_boxes[:, None, 0:3], -gt_boxes[:, 6])
+    xy_local = local[..., 0:2]
+    lw = gt_boxes[:, None, 3:5][..., ::-1]                        # (M, 1, 2)
+    is_in = ((xy_local <= lw / 2) & (xy_local >= -lw / 2)).all(-1)
+    is_pos = is_pos & is_in & gt_mask[:, None]
+
+    # anchor -> best positive gt
+    pos_nm = jnp.zeros((n, m), bool)
+    cols = jnp.broadcast_to(jnp.arange(m)[:, None], (m, k))
+    pos_nm = pos_nm.at[topk_idxs.reshape(-1), cols.reshape(-1)].max(
+        is_pos.reshape(-1))
+    iou_inf = jnp.where(pos_nm, iou, -_BIG)
+    best_val = iou_inf.max(axis=1)
+    best_gt = iou_inf.argmax(axis=1)
+
+    # force-match every valid gt's globally best anchor
+    for mi in range(m):
+        a_star = jnp.argmax(iou[:, mi])
+        ok = gt_mask[mi]
+        best_gt = best_gt.at[a_star].set(
+            jnp.where(ok, mi, best_gt[a_star]))
+        best_val = best_val.at[a_star].set(
+            jnp.where(ok, iou[a_star, mi], best_val[a_star]))
+
+    matched = best_val > -_BIG / 2
+    labels = jnp.where(matched & gt_mask[best_gt], gt_cls[best_gt], 0)
+    targets = box_coder.encode(gt_boxes[best_gt], anchors)
+    pos = labels > 0
+    targets = jnp.where(pos[:, None], targets, 0.0)
+    unc = jnp.where(pos[:, None], gt_uncertainty[best_gt], 1.0)
+    return TargetDict(
+        box_cls_labels=labels.astype(jnp.int32),
+        box_reg_targets=targets,
+        reg_weights=pos.astype(jnp.float32),
         label_uncertainty=unc,
     )

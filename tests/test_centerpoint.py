@@ -73,6 +73,7 @@ def test_decode_recovers_targets(rng):
     assert int(labels[0, 0]) == 1
 
 
+@pytest.mark.slow
 def test_centerpoint_trains_and_predicts(rng):
     cfg = copy.deepcopy(TINY_SECOND)
     cfg.MODEL.NAME = 'CenterPoint'

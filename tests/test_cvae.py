@@ -116,6 +116,7 @@ def test_cvae_loss_and_grad(rng):
     assert np.isfinite(gnorm) and gnorm > 0
 
 
+@pytest.mark.slow
 def test_full_pipeline_produces_uncertainty(tmp_path):
     infos = make_db(tmp_path)
     unc_map = pipeline.run_kfold_pipeline(
@@ -145,3 +146,93 @@ def test_full_pipeline_produces_uncertainty(tmp_path):
     assert ki[0]['annos']['uncertainty'].shape == (4, 7)
     assert (ki[0]['annos']['uncertainty'][2] == -1).all()
     assert all('uncertainty' in info for info in db['Car'])
+
+
+def make_waymo_db(tmp_path, n_objects=20, seed=0):
+    """Synthetic Waymo gt database: 5-dim crops + waymo-keyed infos."""
+    rng = np.random.RandomState(seed)
+    (tmp_path / 'wcrops').mkdir(exist_ok=True)
+    infos = []
+    for i in range(n_objects):
+        box = np.array([rng.uniform(5, 50), rng.uniform(-20, 20), 0.8,
+                        rng.uniform(4.2, 5.2), rng.uniform(1.8, 2.3),
+                        rng.uniform(1.5, 1.9), rng.uniform(-np.pi, np.pi)])
+        n_pts = rng.randint(20, 200)
+        pts = np.zeros((n_pts, 5), np.float32)
+        pts[:, 0] = rng.uniform(-box[3] / 2, box[3] / 2, n_pts)
+        pts[:, 1] = rng.uniform(-box[4] / 2, box[4] / 2, n_pts)
+        pts[:, 2] = rng.uniform(-box[5] / 2, box[5] / 2, n_pts)
+        path = f'wcrops/obj_{i}.bin'
+        pts.tofile(str(tmp_path / path))
+        infos.append({
+            'path': path, 'sequence_name': f'seq_{i // 4}',
+            'sample_idx': i % 4, 'gt_idx': i % 4,
+            'box3d_lidar': box, 'num_points_in_gt': n_pts,
+            'name': 'Vehicle',
+        })
+    return infos
+
+
+def test_waymo_dataset_item(tmp_path, rng):
+    infos = make_waymo_db(tmp_path)
+    cfg = Cfg({'DATA_PATH': 'unused', 'FORCE_RATIO': 0.0, 'FORCE_NUM': 30,
+               'ENABLE_FLIP': True, 'RANDOM_SCALE_RANGE': [0.95, 1.05],
+               'ANGLE_ROT_MAX': 0})
+    ds = ds_lib.WaymoGtDataset(cfg, training=False, root_path=tmp_path,
+                               infos=infos)
+    item = ds[0]
+    assert item['points'].shape == (512, 5)
+    assert item['frame_id'] == 'seq_0#0'
+    # azimuth canonicalization keeps the normalized size roundtrip exact
+    raw = infos[0]['box3d_lidar']
+    denorm = ds_lib.denormalize_box(item['gt_boxes'],
+                                    anchor=ds_lib.WAYMO_ANCHOR)
+    np.testing.assert_allclose(denorm[3:6], raw[3:6], rtol=1e-5)
+    # heading shifted by exactly the canonicalization angle
+    azimuth = np.arctan2(raw[0], raw[1])
+    new_az = (azimuth + np.pi / 4) % (np.pi / 2) - np.pi / 4
+    assert abs(item['gt_boxes'][6] - (raw[6] + (new_az - azimuth))) < 1e-5
+
+
+@pytest.mark.slow
+def test_waymo_kfold_pipeline_and_injection(tmp_path, rng):
+    infos = make_waymo_db(tmp_path)
+    cfg = Cfg({
+        'CLASS_NAMES': ['Vehicle'],
+        'DATA_CONFIG': {'DATASET': 'WaymoGtDataset', 'DATA_PATH': 'unused',
+                        'FORCE_RATIO': 0.0, 'FORCE_NUM': 30,
+                        'ENABLE_FLIP': True,
+                        'RANDOM_SCALE_RANGE': [0.95, 1.05],
+                        'ANGLE_ROT_MAX': 0},
+        'OPTIMIZATION': dict(TINY_CFG.OPTIMIZATION),
+        'MODEL': dict(TINY_CFG.MODEL),
+    })
+    unc = pipeline.run_kfold_pipeline(
+        cfg, tmp_path, n_folds=5, n_passes=3, num_epochs=1, infos=infos)
+    assert len(unc) == len(infos)
+    for v in unc.values():
+        assert v.shape == (7,) and (v >= 0).all()
+
+    # injection round trip
+    waymo_infos = []
+    for i in range(5):
+        names = np.array(['Vehicle', 'Pedestrian', 'Vehicle', 'Vehicle'])
+        waymo_infos.append({
+            'point_cloud': {'lidar_sequence': f'seq_{i}', 'sample_idx': 0},
+            'annos': {'name': names},
+        })
+    # keys must exist for every Vehicle idx referenced
+    for info in waymo_infos:
+        fid = (info['point_cloud']['lidar_sequence'] + '#'
+               + str(info['point_cloud']['sample_idx']))
+        for idx, name in enumerate(info['annos']['name']):
+            if name == 'Vehicle':
+                unc.setdefault(f'{fid}_{idx}', np.full(7, 0.2))
+    db = {'Vehicle': [{'sequence_name': 'seq_0', 'sample_idx': 0,
+                       'gt_idx': 0}]}
+    out_infos, out_db = pipeline.change_gt_infos_waymo(unc, waymo_infos, db)
+    a = out_infos[0]['annos']['uncertainty']
+    assert a.shape == (4, 7)
+    assert (a[1] == -1).all()          # Pedestrian
+    assert (a[0] >= 0).all()           # Vehicle
+    assert out_db['Vehicle'][0]['uncertainty'].shape == (7,)

@@ -1,14 +1,17 @@
 """Multi-device data-parallel training on the 8-device virtual CPU mesh."""
 import numpy as np
+import pytest
 import jax
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     import __graft_entry__ as ge
     assert len(jax.devices()) >= 8
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_dp_grads_match_single_device():
     """One DP step on 8 devices == one step on 1 device with the same batch."""
     import __graft_entry__ as ge

@@ -173,6 +173,7 @@ def make_parta2_cfg():
     return cfg
 
 
+@pytest.mark.slow
 def test_parta2_trains_and_predicts(rng):
     cfg = make_parta2_cfg()
     det = build_detector(cfg)

@@ -1,6 +1,7 @@
 """PointNet++ primitives vs brute-force numpy oracles."""
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from glenet_tpu.ops import pointnet2 as pn2
 
@@ -66,6 +67,7 @@ def test_three_nn_matches_numpy(rng):
                                   np.sort(want_idx, 1))
 
 
+@pytest.mark.slow
 def test_pointnet2_msg_backbone_shapes(rng):
     """Tiny PointNet2MSG forward: per-point features come back at full
     resolution with finite values."""

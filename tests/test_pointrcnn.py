@@ -168,6 +168,7 @@ def make_two_stage_cfg():
     return cfg
 
 
+@pytest.mark.slow
 def test_pointrcnn_two_stage_trains_and_predicts(rng):
     cfg = make_two_stage_cfg()
     det = build_detector(cfg)
@@ -203,6 +204,7 @@ def test_pointrcnn_two_stage_trains_and_predicts(rng):
     assert np.isfinite(np.asarray(preds['final_boxes'])).all()
 
 
+@pytest.mark.slow
 def test_pointrcnn_trains_and_predicts(rng):
     det = build_detector(TINY_POINTRCNN)
     batch = make_batch(rng, n_points=256)

@@ -100,6 +100,7 @@ def make_pvrcnn_cfg():
     return cfg
 
 
+@pytest.mark.slow
 def test_pvrcnn_trains_and_predicts(rng):
     cfg = make_pvrcnn_cfg()
     det = build_detector(cfg)

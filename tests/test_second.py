@@ -107,6 +107,7 @@ def _train_steps(cfg, batch, n_steps=4):
     return det, {'params': params, **state}, losses, metrics
 
 
+@pytest.mark.slow
 def test_second_trains(rng):
     batch = make_batch(rng)
     det, variables, losses, _ = _train_steps(TINY_SECOND, batch)
@@ -114,6 +115,7 @@ def test_second_trains(rng):
     assert losses[-1] < losses[0], losses
 
 
+@pytest.mark.slow
 def test_glenet_s_kl_head_trains_and_predicts(rng):
     cfg = copy.deepcopy(TINY_SECOND)
     cfg.MODEL.DENSE_HEAD.NAME = 'AnchorHeadKLLabel'
@@ -134,6 +136,7 @@ def test_glenet_s_kl_head_trains_and_predicts(rng):
 
 @pytest.mark.parametrize('head_name', ['AnchorHeadKL', 'AnchorHeadIoU',
                                        'AnchorHeadSessd'])
+@pytest.mark.slow
 def test_head_variants_train(rng, head_name):
     cfg = copy.deepcopy(TINY_SECOND)
     cfg.MODEL.DENSE_HEAD.NAME = head_name
@@ -142,6 +145,7 @@ def test_head_variants_train(rng, head_name):
     assert np.isfinite(losses_seq).all(), (head_name, losses_seq)
 
 
+@pytest.mark.slow
 def test_glenet_c_ciassd_ssfa_trains(rng):
     """GLENet-C path: VoxelBackBone8xCiassd + SSFA + AnchorHeadKLLabelIoU."""
     cfg = copy.deepcopy(TINY_SECOND)

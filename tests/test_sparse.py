@@ -6,6 +6,7 @@ nonzero dense output site is an active site by the spconv rule)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from glenet_tpu.ops import sparse
 
@@ -138,6 +139,7 @@ def test_out_cap_overflow_drops_but_stays_valid(rng):
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_backbone_shapes(rng):
     """VoxelBackBone8x on a KITTI-like (but tiny) grid compiles and produces
     the expected BEV shape."""

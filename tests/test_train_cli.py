@@ -89,6 +89,7 @@ def _run_main(module_main, argv):
         sys.argv = old
 
 
+@pytest.mark.slow
 def test_train_and_eval_cli(tmp_path):
     rng = np.random.RandomState(3)
     kitti_root = make_kitti_tree(tmp_path, rng)

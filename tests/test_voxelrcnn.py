@@ -138,6 +138,7 @@ def test_decode_rcnn_roundtrip(rng):
     assert dh.max() < 1e-4
 
 
+@pytest.mark.slow
 def test_voxelrcnn_trains_and_predicts(rng):
     cfg = make_vr_cfg()
     det = build_detector(cfg)
