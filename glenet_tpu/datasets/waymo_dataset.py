@@ -193,16 +193,19 @@ class WaymoDataset:
             })
         return annos
 
-    def evaluation(self, det_annos, class_names):
-        """Official Waymo metrics when the SDK is available, else a
-        kitti-format AP fallback (reference waymo_dataset.py:277-315)."""
-        try:
-            from waymo_open_dataset.metrics.python import detection_metrics  # noqa
-            raise NotImplementedError(
-                'official waymo metrics wiring requires TF; use kitti '
-                'fallback in this environment')
-        except ImportError:
-            pass
+    def evaluation(self, det_annos, class_names, eval_metric='waymo'):
+        """Waymo mAP/mAPH (numpy protocol reimplementation, see
+        eval/waymo_eval.py) or the kitti-format AP fallback
+        (reference waymo_dataset.py:277-315)."""
+        if eval_metric == 'waymo':
+            from ..eval import waymo_eval
+            gt_annos = []
+            for info in self.infos:
+                a = dict(info['annos'])
+                a.setdefault('boxes_lidar', a.get('gt_boxes_lidar'))
+                gt_annos.append(a)
+            return waymo_eval.waymo_evaluation(det_annos, gt_annos,
+                                               class_names)
         from .waymo_utils import transform_annos_to_kitti_format
         from ..eval import kitti_eval
         gt_annos = [transform_annos_to_kitti_format(

@@ -103,6 +103,10 @@ def test_kitti_format_eval_roundtrip(tmp_path, rng):
             'frame_id': info['frame_id'],
         })
     result_str, ret = ds.evaluation(det_annos, ['Vehicle'])
+    assert ret['OBJECT_TYPE_TYPE_VEHICLE_LEVEL_2/AP'] > 99.0, result_str
+
+    result_str, ret = ds.evaluation(det_annos, ['Vehicle'],
+                                    eval_metric='kitti')
     assert 'Car_3d/moderate_R11' in ret
     assert ret['Car_3d/moderate_R11'] > 0, result_str
 
