@@ -20,6 +20,15 @@ def build_dataset(data_cfg, class_names, training=True, root_path=None,
     elif name == 'WaymoDataset':
         from .waymo_dataset import WaymoDataset
         cls = WaymoDataset
+    elif name == 'NuScenesDataset':
+        from .nuscenes_dataset import NuScenesDataset
+        cls = NuScenesDataset
+    elif name == 'LyftDataset':
+        from .lyft_dataset import LyftDataset
+        cls = LyftDataset
+    elif name == 'PandasetDataset':
+        from .pandaset_dataset import PandasetDataset
+        cls = PandasetDataset
     else:
         raise NotImplementedError(f'unknown DATASET {name!r}')
     return cls(data_cfg, class_names, training=training,
