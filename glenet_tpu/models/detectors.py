@@ -190,7 +190,15 @@ class DetectorNet(nn.Module):
         roi_cfg = mcfg.get('ROI_HEAD', None)
         self._roi_is_pvrcnn = False
         self._roi_is_parta2 = False
-        if roi_cfg is not None and roi_cfg.NAME == 'PartA2FCHead':
+        self._roi_is_second = False
+        if roi_cfg is not None and roi_cfg.NAME == 'SECONDHead':
+            from .roi_heads import SECONDHead
+            self._roi_is_second = True
+            self.roi_head = SECONDHead(
+                model_cfg=roi_cfg, voxel_size=self.voxel_size,
+                pc_range=self.pc_range, code_size=self._coder.code_size,
+                axis_name=self.axis_name)
+        elif roi_cfg is not None and roi_cfg.NAME == 'PartA2FCHead':
             from .roi_heads import PartA2FCHead
             self._roi_is_parta2 = True
             self.roi_head = PartA2FCHead(
@@ -393,7 +401,9 @@ class DetectorNet(nn.Module):
         else:
             roi_in = rois
 
-        if self._roi_is_parta2:
+        if self._roi_is_second:
+            out['rcnn'] = self.roi_head(roi_in, spatial_2d, train=train)
+        elif self._roi_is_parta2:
             # part feature assembly (partA2_head.py:118-126): sigmoid part
             # offsets + detached seg score, xyz zeroed below the seg thresh
             roi_mcfg2 = Cfg(unfreeze(self._mcfg))
@@ -742,8 +752,11 @@ class Detector:
         metrics = {}
         c_loss = roi_lib.rcnn_cls_loss(
             rcnn['rcnn_cls'], rt['rcnn_cls_labels'])
-        c_loss = c_loss * roi_lw['rcnn_cls_weight']
+        c_loss = c_loss * roi_lw.get('rcnn_cls_weight',
+                                     roi_lw.get('rcnn_iou_weight', 1.0))
         metrics['rcnn_loss_cls'] = c_loss
+        if 'no_reg_loss' in rcnn:      # SECONDHead: IoU scoring only
+            return c_loss, metrics
         r_loss, parts = roi_lib.rcnn_reg_loss(
             rcnn['rcnn_reg'], rcnn.get('rcnn_reg_std'),
             rt['rois'], rt['gt_of_rois_ct'], rt['gt_of_rois_src'],

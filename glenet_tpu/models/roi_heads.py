@@ -499,6 +499,83 @@ class PVRCNNHead(nn.Module):
         return {'rcnn_cls': rcnn_cls, 'rcnn_reg': rcnn_reg}
 
 
+class SECONDHead(nn.Module):
+    """CIA-SSD-style IoU-scoring RoI head (reference roi_heads/
+    second_head.py:7-180, used by second_iou.yaml / SECONDNetIoU):
+    a rotated GRID_SIZE^2 bilinear grid-sample of the BEV feature map per
+    roi (the reference's affine_grid/grid_sample), shared FC stack, and a
+    single IoU logit.  No box refinement — predicted boxes are the rois.
+    """
+    model_cfg: Any
+    voxel_size: tuple
+    pc_range: tuple
+    code_size: int = 7
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, rois, spatial_2d, train: bool = True):
+        """rois (B, R, 7); spatial_2d (B, H, W, C)."""
+        from flax.core import unfreeze
+        from ..config import Cfg
+        from .layers import MaskedBatchNorm
+        from .pfe import bilinear_interpolate
+        mcfg = Cfg(unfreeze(self.model_cfg))
+        pool_cfg = mcfg.ROI_GRID_POOL
+        g = int(pool_cfg.GRID_SIZE)
+        ds = float(pool_cfg.DOWNSAMPLE_RATIO)
+        b, r = rois.shape[:2]
+        h, w, c = spatial_2d.shape[1:]
+
+        vx, vy = self.voxel_size[0] * ds, self.voxel_size[1] * ds
+        x0, y0 = self.pc_range[0], self.pc_range[1]
+        # normalized grid at half-pixel offsets (affine_grid
+        # align_corners=False convention)
+        lin = (2.0 * (np.arange(g) + 0.5) / g - 1.0).astype(np.float32)
+        gy, gx = np.meshgrid(lin, lin, indexing='ij')
+        gx = jnp.asarray(gx.reshape(-1))                   # (G^2,)
+        gy = jnp.asarray(gy.reshape(-1))
+
+        def pool_one(rois_s, feat_s):
+            cx = (rois_s[:, 0] - x0) / vx                  # feature px
+            cy = (rois_s[:, 1] - y0) / vy
+            hx = rois_s[:, 3] / vx / 2
+            hy = rois_s[:, 4] / vy / 2
+            ca, sa = jnp.cos(rois_s[:, 6]), jnp.sin(rois_s[:, 6])
+            u = cx[:, None] + hx[:, None] * (gx[None] * ca[:, None]
+                                             - gy[None] * sa[:, None])
+            v = cy[:, None] + hy[:, None] * (gx[None] * sa[:, None]
+                                             + gy[None] * ca[:, None])
+            return bilinear_interpolate(
+                feat_s, u.reshape(-1), v.reshape(-1)).reshape(
+                rois_s.shape[0], g * g, c)
+
+        pooled = jax.vmap(pool_one)(rois, spatial_2d)      # (B, R, G^2, C)
+        pooled = jax.lax.stop_gradient(pooled)             # reference .detach()
+        feats = pooled.reshape(b * r, g * g * c)
+
+        x = feats
+        n_shared = len(mcfg.SHARED_FC)
+        for i, s in enumerate(mcfg.SHARED_FC):
+            x = nn.Dense(s, use_bias=False, name=f'shared_{i}')(x)
+            x = MaskedBatchNorm(axis_name=self.axis_name,
+                                name=f'shared_bn{i}')(
+                x, use_running_average=not train)
+            x = nn.relu(x)
+            if i != n_shared - 1 and train and mcfg.get('DP_RATIO', 0) > 0:
+                x = nn.Dropout(mcfg.DP_RATIO, deterministic=not train)(x)
+        for i, s in enumerate(mcfg.IOU_FC):
+            x = nn.Dense(s, use_bias=False, name=f'iou_{i}')(x)
+            x = MaskedBatchNorm(axis_name=self.axis_name,
+                                name=f'iou_bn{i}')(
+                x, use_running_average=not train)
+            x = nn.relu(x)
+        rcnn_iou = nn.Dense(1, name='iou_pred')(x)
+        # boxes are unrefined rois: zero residuals decode back to the roi
+        return {'rcnn_cls': rcnn_iou,
+                'rcnn_reg': jnp.zeros((b * r, self.code_size)),
+                'no_reg_loss': True}
+
+
 class PartA2FCHead(nn.Module):
     """Part-aggregation RoI head (reference roi_heads/partA2_head.py:10-224):
     roiaware-pool the UNet voxel-point features (max) and the part/seg

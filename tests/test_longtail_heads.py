@@ -160,3 +160,44 @@ def test_atss_e2e_trains(rng):
     params, state, losses, metrics = train_steps(det, batch)
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+@pytest.mark.slow
+def test_second_iou_head_trains(rng):
+    """SECONDNetIoU: SECONDHead pools rotated BEV grids, scores roi IoU,
+    boxes pass through unrefined."""
+    cfg = copy.deepcopy(TINY_SECOND)
+    cfg.MODEL.NAME = 'SECONDNetIoU'
+    cfg.MODEL.ROI_HEAD = Cfg({
+        'NAME': 'SECONDHead', 'CLASS_AGNOSTIC': True,
+        'SHARED_FC': [32, 32], 'IOU_FC': [16], 'DP_RATIO': 0.3,
+        'NMS_CONFIG': {
+            'TRAIN': {'NMS_TYPE': 'nms_gpu', 'NMS_PRE_MAXSIZE': 512,
+                      'NMS_POST_MAXSIZE': 64, 'NMS_THRESH': 0.8},
+            'TEST': {'NMS_TYPE': 'nms_gpu', 'NMS_PRE_MAXSIZE': 256,
+                     'NMS_POST_MAXSIZE': 32, 'NMS_THRESH': 0.7,
+                     'SCORE_THRESH': 0.0}},
+        'ROI_GRID_POOL': {'GRID_SIZE': 4, 'IN_CHANNEL': 64,
+                          'DOWNSAMPLE_RATIO': 8},
+        'TARGET_CONFIG': {
+            'BOX_CODER': 'ResidualCoder', 'ROI_PER_IMAGE': 16,
+            'FG_RATIO': 0.5, 'SAMPLE_ROI_BY_EACH_CLASS': True,
+            'CLS_SCORE_TYPE': 'roi_iou', 'CLS_FG_THRESH': 0.75,
+            'CLS_BG_THRESH': 0.25, 'CLS_BG_THRESH_LO': 0.1,
+            'HARD_BG_RATIO': 0.8, 'REG_FG_THRESH': 0.55},
+        'LOSS_CONFIG': {
+            'IOU_LOSS': 'BinaryCrossEntropy',
+            'LOSS_WEIGHTS': {'rcnn_iou_weight': 1.0,
+                             'code_weights': [1.0] * 7}},
+    })
+    cfg.MODEL.POST_PROCESSING.SCORE_THRESH = 0.0
+    det = build_detector(cfg)
+    batch = make_batch(rng)
+    params, state, losses, metrics = train_steps(det, batch)
+    assert np.isfinite(losses).all()
+    assert 'rcnn_loss_cls' in metrics
+    assert 'rcnn_loss_reg' not in metrics        # IoU-only head
+
+    preds = jax.jit(lambda v, b: det.predict(v, b))(
+        {'params': params, **state}, batch)
+    assert np.isfinite(np.asarray(preds['final_boxes'])).all()
