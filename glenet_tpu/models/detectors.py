@@ -54,8 +54,14 @@ class DetectorNet(nn.Module):
         from ..config import Cfg
         mcfg = Cfg(unfreeze(self.model_cfg))
         vfe_cfg = mcfg.get('VFE', None)
+        self._is_camera = vfe_cfg is not None and vfe_cfg.NAME == 'ImageVFE'
         if vfe_cfg is None:
             self.vfe = None
+        elif vfe_cfg.NAME == 'ImageVFE':
+            from .image_vfe import ImageVFE
+            self.vfe = ImageVFE(model_cfg=vfe_cfg, grid_size=self.grid_size,
+                                pc_range=self.pc_range,
+                                axis_name=self.axis_name)
         elif vfe_cfg.NAME == 'PillarVFE':
             self.vfe = PillarVFE(
                 num_filters=tuple(vfe_cfg.NUM_FILTERS),
@@ -148,7 +154,12 @@ class DetectorNet(nn.Module):
             return
 
         m2b = mcfg.MAP_TO_BEV  # (voxel topologies only; point path returned)
-        if m2b.NAME == 'PointPillarScatter':
+        if m2b.NAME == 'Conv2DCollapse':
+            from .image_vfe import Conv2DCollapse
+            self.map_to_bev = Conv2DCollapse(
+                num_bev_features=int(m2b.NUM_BEV_FEATURES),
+                axis_name=self.axis_name)
+        elif m2b.NAME == 'PointPillarScatter':
             self.map_to_bev = PointPillarScatter(grid_size=self.grid_size)
         elif m2b.NAME == 'HeightCompression':
             # grid for the compressed map is provided by the 3D backbone
@@ -265,10 +276,21 @@ class DetectorNet(nn.Module):
             raise NotImplementedError(head_cfg.NAME)
 
     def __call__(self, points, points_mask, gt_boxes=None, gt_mask=None,
-                 gt_uncertainty=None, train: bool = True):
+                 gt_uncertainty=None, camera=None, train: bool = True):
         """points: (B, P, C), points_mask: (B, P) -> output dict with dense
         head outputs (and, for two-stage models, roi outputs + sampled-roi
-        targets when training)."""
+        targets when training).  Camera models (CaDDN) take `camera`: a
+        dict with images / trans_lidar_to_cam / trans_cam_to_img /
+        image_shape instead of using the points."""
+        if self._is_camera:
+            vfe_out = self.vfe(camera['images'],
+                               camera['trans_lidar_to_cam'],
+                               camera['trans_cam_to_img'],
+                               camera['image_shape'], train=train)
+            bev = self.map_to_bev(vfe_out['voxel_features'], train=train)
+            spatial_2d = self.backbone_2d(bev, train=train)
+            return {'dense_head': self.dense_head(spatial_2d, train=train),
+                    'depth_logits': vfe_out['depth_logits']}
         if self._is_point_based:
             feats = self.backbone_3d(points, points_mask, train=train)
             head_out = self.point_head(feats, points_mask, train=train)
@@ -519,11 +541,12 @@ class Detector:
         self.pc_range = tuple(data_cfg.POINT_CLOUD_RANGE)
 
         proc_cfgs = {p.NAME: p for p in data_cfg.DATA_PROCESSOR}
-        vox_cfg = proc_cfgs['transform_points_to_voxels']
+        vox_cfg = proc_cfgs.get('transform_points_to_voxels',
+                                proc_cfgs.get('calculate_grid_size'))
         self.voxel_size = tuple(vox_cfg.VOXEL_SIZE)
         self.grid_size = vox_ops.compute_grid_size(self.pc_range, self.voxel_size)
-        self.max_points_per_voxel = int(vox_cfg.MAX_POINTS_PER_VOXEL)
-        mv = vox_cfg.MAX_NUMBER_OF_VOXELS
+        self.max_points_per_voxel = int(vox_cfg.get('MAX_POINTS_PER_VOXEL', 1))
+        mv = vox_cfg.get('MAX_NUMBER_OF_VOXELS', 1)
         self.max_voxels = int(mv['train'] if isinstance(mv, dict) else mv)
 
         ph_cfg = model_cfg.get('POINT_HEAD', None)
@@ -592,7 +615,8 @@ class Detector:
             {'params': r_params, 'roi_sampler': r_roi, 'dropout': r_drop},
             batch['points'], batch['points_mask'],
             gt_boxes=batch.get('gt_boxes'), gt_mask=batch.get('gt_mask'),
-            gt_uncertainty=batch.get('gt_uncertainty'))
+            gt_uncertainty=batch.get('gt_uncertainty'),
+            camera=_camera_of(batch))
 
     # -- training loss ------------------------------------------------------
     def loss_fn(self, variables, batch, train=True, mutable=('batch_stats',),
@@ -604,6 +628,7 @@ class Detector:
             variables, batch['points'], batch['points_mask'],
             gt_boxes=batch.get('gt_boxes'), gt_mask=batch.get('gt_mask'),
             gt_uncertainty=batch.get('gt_uncertainty'),
+            camera=_camera_of(batch),
             train=train, mutable=list(mutable),
             rngs={'roi_sampler': r_roi, 'dropout': r_drop})
         loss, metrics = self.compute_loss(out, batch)
@@ -733,6 +758,23 @@ class Detector:
             metrics['point_loss_cls'] = seg
             total = total + seg
 
+        # ---- CaDDN depth distribution loss ----------------------------------
+        if 'depth_logits' in full_out and 'depth_maps' in batch:
+            from .image_vfe import ddn_loss
+            ffn_cfg = self.model_cfg.VFE.FFN
+            args = dict(ffn_cfg.LOSS.get('ARGS', {}))
+            d_loss = ddn_loss(
+                full_out['depth_logits'], batch['depth_maps'],
+                batch['gt_boxes2d'], batch['gt_boxes2d_mask'],
+                dict(ffn_cfg.DISCRETIZE),
+                weight=float(args.get('weight', 3.0)),
+                alpha=float(args.get('alpha', 0.25)),
+                gamma=float(args.get('gamma', 2.0)),
+                fg_weight=float(args.get('fg_weight', 13)),
+                bg_weight=float(args.get('bg_weight', 1)))
+            metrics['loss_depth'] = d_loss
+            total = total + d_loss
+
         # ---- rcnn (two-stage) losses ---------------------------------------
         if 'rcnn' in full_out and 'roi_targets' in full_out:
             rcnn_total, rcnn_metrics = self._rcnn_loss(full_out)
@@ -833,7 +875,8 @@ class Detector:
         final_valid (B, K)."""
         post = post_cfg if post_cfg is not None else self.model_cfg.POST_PROCESSING
         full_out = self.net.apply(
-            variables, batch['points'], batch['points_mask'], train=False)
+            variables, batch['points'], batch['points_mask'],
+            camera=_camera_of(batch), train=False)
 
         if 'point_head' in full_out and 'rcnn' not in full_out:
             out = full_out['point_head']
@@ -938,6 +981,13 @@ class Detector:
             best_scores, best_labels, boxes_all, std_all)
         return {'final_boxes': fb, 'final_scores': fs,
                 'final_labels': fl, 'final_valid': fv}
+
+
+def _camera_of(batch):
+    if 'images' not in batch:
+        return None
+    return {k: batch[k] for k in ('images', 'trans_lidar_to_cam',
+                                  'trans_cam_to_img', 'image_shape')}
 
 
 def build_detector(cfg, axis_name=None):
