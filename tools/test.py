@@ -114,6 +114,14 @@ def eval_one_epoch(cfg, detector, variables, dataset, logger, batch_size=4,
             pickle.dump(det_annos, f)
     result_str, ret_dict = dataset.evaluation(det_annos, cfg.CLASS_NAMES)
     logger.info('\n' + result_str)
+    if result_dir is not None and rank == 0:
+        from glenet_tpu.utils.summary import ScalarWriter
+        writer = ScalarWriter(Path(result_dir) / 'tensorboard')
+        writer.add_scalars({f'eval/{k}': v for k, v in ret_dict.items()
+                            if isinstance(v, (int, float))}, 0)
+        writer.add_scalars({f'eval/recall_{t}': recall[t] / max(total_gt, 1)
+                            for t in recall_thresh}, 0)
+        writer.close()
     return ret_dict
 
 

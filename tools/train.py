@@ -115,6 +115,8 @@ def main():
         ts = ckpt_lib.restore_train_state(ts, ck)
         start_epoch = ck['epoch'] + 1
 
+    from glenet_tpu.utils.summary import ScalarWriter
+    writer = ScalarWriter(output_dir / 'tensorboard', enabled=(rank == 0))
     ts = jax.device_put(ts, mesh_lib.replicated(mesh))
     it = int(ts.step)
     profiling = False
@@ -146,6 +148,9 @@ def main():
                     f'loss {float(metrics["loss"]):.4f} '
                     f'lr {float(lr_sched(it)):.6f} '
                     f'grad {float(metrics["grad_norm"]):.2f}')
+                writer.add_scalars(
+                    {f'train/{k}': v for k, v in metrics.items()}
+                    | {'meta_data/learning_rate': float(lr_sched(it))}, it)
         logger.info(f'epoch {epoch} done in {time.time() - t_epoch:.1f}s')
         if rank != 0:
             continue  # rank 0 owns checkpoints (reference train_utils.py:145)
@@ -153,6 +158,7 @@ def main():
             ckpt_lib.checkpoint_state(jax.device_get(ts), epoch, it),
             ckpt_dir, epoch, args.max_ckpt_save_num)
 
+    writer.close()
     if args.eval_after_train:
         from tools.test import eval_checkpoint
         eval_checkpoint(cfg, detector, ts, output_dir, logger,
