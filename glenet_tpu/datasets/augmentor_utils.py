@@ -128,6 +128,9 @@ def noise_per_object(gt_boxes, points, valid_mask=None,
             coll = _sat_overlap(cand, others).any(axis=1)    # (T,)
         else:
             coll = np.zeros(num_try, bool)
+        # (native rbox_collision covers the boxes->boxes case; candidates
+        # here are corner sets after per-try rotation, so the vectorized
+        # SAT stays — it is already one numpy call per object)
         ok = np.nonzero(~coll)[0]
         if ok.size:
             t = ok[0]

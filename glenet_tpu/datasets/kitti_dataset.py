@@ -416,7 +416,8 @@ class KittiDataset:
                     fov = self.get_fov_flag(
                         calib.lidar_to_rect(points[:, :3]),
                         info['image']['image_shape'], calib)
-                    inside = box_utils.points_in_boxes_np(
+                    from ..ops import host_ops
+                    inside = host_ops.points_in_rboxes(
                         points[fov][:, :3], annos['gt_boxes_lidar'])
                     annos['num_points_in_gt'] = np.concatenate([
                         inside.sum(axis=0),
@@ -443,7 +444,8 @@ class KittiDataset:
             annos = info['annos']
             names = annos['name']
             gt_boxes = annos['gt_boxes_lidar']
-            inside = box_utils.points_in_boxes_np(points[:, :3], gt_boxes)
+            from ..ops import host_ops
+            inside = host_ops.points_in_rboxes(points[:, :3], gt_boxes)
             for i in range(len(gt_boxes)):
                 if used_classes is not None and names[i] not in used_classes:
                     continue
