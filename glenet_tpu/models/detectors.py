@@ -73,6 +73,19 @@ class DetectorNet(nn.Module):
                 axis_name=self.axis_name)
         elif vfe_cfg.NAME == 'MeanVFE':
             self.vfe = MeanVFE()
+        elif vfe_cfg.NAME in ('DynMeanVFE', 'DynamicMeanVFE'):
+            from .vfe import DynamicMeanVFE
+            self.vfe = DynamicMeanVFE()
+        elif vfe_cfg.NAME in ('DynPillarVFE', 'DynamicPillarVFE'):
+            from .vfe import DynamicPillarVFE
+            self.vfe = DynamicPillarVFE(
+                num_filters=tuple(vfe_cfg.NUM_FILTERS),
+                voxel_size=self.voxel_size,
+                point_cloud_range=self.pc_range,
+                use_absolute_xyz=vfe_cfg.get('USE_ABSLOTE_XYZ', True),
+                with_distance=vfe_cfg.get('WITH_DISTANCE', False),
+                use_norm=vfe_cfg.get('USE_NORM', True),
+                axis_name=self.axis_name)
         else:
             raise NotImplementedError(vfe_cfg.NAME)
 
@@ -183,6 +196,8 @@ class DetectorNet(nn.Module):
 
         head_cfg = mcfg.DENSE_HEAD
         self._mcfg = mcfg
+        self._is_center_head = head_cfg.NAME == 'CenterHead'
+        self._is_pvpp = mcfg.get('NAME', '') == 'PVRCNNPlusPlus'
         num_dir_bins = (head_cfg.get('NUM_DIR_BINS', 2)
                         if head_cfg.get('USE_DIRECTION_CLASSIFIER', False) else 0)
         self._num_dir_bins = num_dir_bins
@@ -303,16 +318,47 @@ class DetectorNet(nn.Module):
                 out, points, points_mask, feats, gt_boxes, gt_mask,
                 gt_uncertainty, train)
 
-        voxelize_fn = functools.partial(
-            vox_ops.voxelize,
-            voxel_size=tuple(self.voxel_size), pc_range=tuple(self.pc_range),
-            grid_size=tuple(self.grid_size),
-            max_voxels=self.max_voxels,
-            max_points_per_voxel=self.max_points_per_voxel)
-        vox = jax.vmap(voxelize_fn)(points, points_mask)
+        from .vfe import DynamicMeanVFE, DynamicPillarVFE
+        if isinstance(self.vfe, (DynamicMeanVFE, DynamicPillarVFE)):
+            # dynamic (capless scatter) voxelization: flatten the batch into
+            # the point/segment axis so BN stats span the batch
+            vox = jax.vmap(functools.partial(
+                vox_ops.voxelize_dynamic,
+                voxel_size=tuple(self.voxel_size),
+                pc_range=tuple(self.pc_range),
+                grid_size=tuple(self.grid_size),
+                max_voxels=self.max_voxels))(points, points_mask)
+            b, n = points.shape[:2]
+            v = self.max_voxels
+            offs = jnp.arange(b, dtype=jnp.int32)[:, None] * v
+            flat_idx = jnp.where(vox['point_voxel_idx'] >= 0,
+                                 vox['point_voxel_idx'] + offs,
+                                 -1).reshape(b * n)
+            flat_pts = points.reshape(b * n, -1)
+            if isinstance(self.vfe, DynamicPillarVFE):
+                flat_coords = vox['voxel_coords'].reshape(b * v, 3)
+                feats = self.vfe(flat_pts, flat_idx, flat_coords,
+                                 num_voxels=b * v, train=train)
+            else:
+                feats = self.vfe(flat_pts, flat_idx, num_voxels=b * v,
+                                 train=train)
+            feats = feats.reshape(b, v, -1)
+            feats = jnp.where(vox['voxel_mask'][..., None], feats, 0.0)
+        else:
+            voxelize_fn = functools.partial(
+                vox_ops.voxelize,
+                voxel_size=tuple(self.voxel_size),
+                pc_range=tuple(self.pc_range),
+                grid_size=tuple(self.grid_size),
+                max_voxels=self.max_voxels,
+                max_points_per_voxel=self.max_points_per_voxel)
+            vox = jax.vmap(voxelize_fn)(points, points_mask)
+            feats = None
 
-        b, v = vox['voxels'].shape[:2]
-        if isinstance(self.vfe, PillarVFE):
+        b, v = vox['voxel_coords'].shape[:2]
+        if feats is not None:
+            pass
+        elif isinstance(self.vfe, PillarVFE):
             # flatten batch into the voxel axis so BN stats span the batch
             feats = self.vfe(
                 vox['voxels'].reshape(b * v, *vox['voxels'].shape[2:]),
@@ -351,12 +397,17 @@ class DetectorNet(nn.Module):
             return out
 
         # ---- PFE: VoxelSetAbstraction keypoints (PV-RCNN) ------------------
+        # PV-RCNN++ (pv_rcnn_plusplus.py:16-30) runs the proposal layer
+        # FIRST (SPC keypoint sampling needs rois); plain PV-RCNN samples
+        # keypoints from the raw cloud before proposals.
         kp_feats_weighted = None
         vsa = None
-        if self.pfe is not None:
+
+        def run_pfe(rois_in=None, roi_valid_in=None):
             # HeightCompression BEV stride is 8 (VoxelBackBone8x)
             vsa = self.pfe(points, points_mask, multi_scale, spatial,
-                           bev_stride=8, train=train)
+                           bev_stride=8, rois=rois_in,
+                           roi_valid=roi_valid_in, train=train)
             ph_cfg = self._mcfg.get('POINT_HEAD', None)
             use_before = (ph_cfg or {}).get(
                 'USE_POINT_FEATURES_BEFORE_FUSION', True)
@@ -364,9 +415,12 @@ class DetectorNet(nn.Module):
                      else vsa['point_features'])
             kp_cls = self.point_head_simple(kp_in, train=train)
             kp_scores = jax.nn.sigmoid(kp_cls).max(axis=-1)
-            out['pfe'] = {'keypoints': vsa['keypoints'],
-                          'point_cls_preds': kp_cls}
-            kp_feats_weighted = vsa['point_features'] * kp_scores[..., None]
+            pfe_out = {'keypoints': vsa['keypoints'],
+                       'point_cls_preds': kp_cls}
+            return vsa, pfe_out, vsa['point_features'] * kp_scores[..., None]
+
+        if self.pfe is not None and not self._is_pvpp:
+            vsa, out['pfe'], kp_feats_weighted = run_pfe()
 
         # ---- two-stage: proposals -> (train: sampling) -> roi head --------
         from flax.core import unfreeze
@@ -374,14 +428,25 @@ class DetectorNet(nn.Module):
         from . import roi_heads as roi_lib
         from ..ops import nms as nms_ops
         roi_mcfg = Cfg(unfreeze(self._mcfg))  # linen froze the dict attr
-        decoded = anchor_heads.decode_predictions(
-            out['dense_head'], jnp.asarray(self._anchor_set.flat_anchors),
-            self._coder, dir_offset=self._dir_offset,
-            dir_limit_offset=self._dir_limit_offset,
-            num_dir_bins=self._num_dir_bins)
-        cls_scores = jax.nn.sigmoid(decoded['batch_cls_preds'])
-        best_scores = cls_scores.max(axis=-1)
-        best_labels = cls_scores.argmax(axis=-1) + 1
+        if self._is_center_head:
+            from . import center_head as ch
+            hc = roi_mcfg.DENSE_HEAD
+            stride = int(hc.TARGET_ASSIGNER_CONFIG.FEATURE_MAP_STRIDE)
+            pp = hc.get('POST_PROCESSING', {}) or {}
+            kdec = int(pp.get('MAX_OBJ_PER_SAMPLE', 500))
+            prop_boxes, best_scores, best_labels = ch.decode_center_boxes(
+                out['dense_head'], kdec, self.voxel_size, self.pc_range,
+                stride, score_thresh=float(pp.get('SCORE_THRESH', 0.0)))
+            decoded = {'batch_box_preds': prop_boxes}
+        else:
+            decoded = anchor_heads.decode_predictions(
+                out['dense_head'], jnp.asarray(self._anchor_set.flat_anchors),
+                self._coder, dir_offset=self._dir_offset,
+                dir_limit_offset=self._dir_limit_offset,
+                num_dir_bins=self._num_dir_bins)
+            cls_scores = jax.nn.sigmoid(decoded['batch_cls_preds'])
+            best_scores = cls_scores.max(axis=-1)
+            best_labels = cls_scores.argmax(axis=-1) + 1
         nms_cfg = roi_mcfg.ROI_HEAD.NMS_CONFIG['TRAIN' if train else 'TEST']
         pre_max = int(nms_cfg.NMS_PRE_MAXSIZE)
         post_max = int(nms_cfg.NMS_POST_MAXSIZE)
@@ -420,8 +485,14 @@ class DetectorNet(nn.Module):
             targets = jax.lax.stop_gradient(targets)
             out['roi_targets'] = targets
             roi_in = targets['rois']
+            roi_in_valid = jnp.ones(roi_in.shape[:2], bool)
         else:
             roi_in = rois
+            roi_in_valid = roi_valid
+
+        if self.pfe is not None and self._is_pvpp:
+            vsa, out['pfe'], kp_feats_weighted = run_pfe(
+                roi_in[..., :7], roi_in_valid)
 
         if self._roi_is_second:
             out['rcnn'] = self.roi_head(roi_in, spatial_2d, train=train)
@@ -541,8 +612,10 @@ class Detector:
         self.pc_range = tuple(data_cfg.POINT_CLOUD_RANGE)
 
         proc_cfgs = {p.NAME: p for p in data_cfg.DATA_PROCESSOR}
-        vox_cfg = proc_cfgs.get('transform_points_to_voxels',
-                                proc_cfgs.get('calculate_grid_size'))
+        vox_cfg = proc_cfgs.get(
+            'transform_points_to_voxels',
+            proc_cfgs.get('transform_points_to_voxels_placeholder',
+                          proc_cfgs.get('calculate_grid_size')))
         self.voxel_size = tuple(vox_cfg.VOXEL_SIZE)
         self.grid_size = vox_ops.compute_grid_size(self.pc_range, self.voxel_size)
         self.max_points_per_voxel = int(vox_cfg.get('MAX_POINTS_PER_VOXEL', 1))
@@ -645,7 +718,18 @@ class Detector:
             return total, metrics
         out = full_out['dense_head']
         if self.is_center_head:
-            return self._center_loss(out, batch)
+            total, metrics = self._center_loss(out, batch)
+            # PV-RCNN++ / CenterHead-RPN two-stage extras
+            if 'pfe' in full_out:
+                seg = self._pfe_loss(full_out, batch)
+                metrics['point_loss_cls'] = seg
+                total = total + seg
+            if 'rcnn' in full_out and 'roi_targets' in full_out:
+                rcnn_total, rcnn_metrics = self._rcnn_loss(full_out)
+                total = total + rcnn_total
+                metrics.update(rcnn_metrics)
+            metrics['loss'] = total
+            return total, metrics
         if self.target_assigner_name == 'ATSSTargetAssigner':
             targets = jax.vmap(
                 lambda gb, gm, gu: target_assigner.atss_assign_targets(
@@ -741,20 +825,7 @@ class Detector:
 
         # ---- keypoint segmentation loss (PV-RCNN PointHeadSimple) ----------
         if 'pfe' in full_out:
-            from . import pfe as pfe_lib
-            ph_cfg = self.model_cfg.POINT_HEAD
-            extra = tuple(ph_cfg.TARGET_CONFIG.get('GT_EXTRA_WIDTH',
-                                                   [0.2, 0.2, 0.2]))
-            kp = full_out['pfe']['keypoints']
-            labels = jax.vmap(functools.partial(
-                pfe_lib.assign_keypoint_seg_targets, extra_width=extra))(
-                kp, batch['gt_boxes'], batch['gt_mask'])
-            preds = full_out['pfe']['point_cls_preds']
-            seg = pfe_lib.keypoint_seg_loss(
-                preds.reshape(-1, preds.shape[-1]), labels.reshape(-1),
-                num_class=preds.shape[-1])
-            seg = seg * ph_cfg.LOSS_CONFIG.LOSS_WEIGHTS.get(
-                'point_cls_weight', 1.0)
+            seg = self._pfe_loss(full_out, batch)
             metrics['point_loss_cls'] = seg
             total = total + seg
 
@@ -783,6 +854,23 @@ class Detector:
 
         metrics['loss'] = total
         return total, metrics
+
+    def _pfe_loss(self, full_out, batch):
+        """Keypoint foreground-segmentation loss (PointHeadSimple)."""
+        from . import pfe as pfe_lib
+        ph_cfg = self.model_cfg.POINT_HEAD
+        extra = tuple(ph_cfg.TARGET_CONFIG.get('GT_EXTRA_WIDTH',
+                                               [0.2, 0.2, 0.2]))
+        kp = full_out['pfe']['keypoints']
+        labels = jax.vmap(functools.partial(
+            pfe_lib.assign_keypoint_seg_targets, extra_width=extra))(
+            kp, batch['gt_boxes'], batch['gt_mask'])
+        preds = full_out['pfe']['point_cls_preds']
+        seg = pfe_lib.keypoint_seg_loss(
+            preds.reshape(-1, preds.shape[-1]), labels.reshape(-1),
+            num_class=preds.shape[-1])
+        return seg * ph_cfg.LOSS_CONFIG.LOSS_WEIGHTS.get(
+            'point_cls_weight', 1.0)
 
     def _rcnn_loss(self, full_out):
         """Shared second-stage losses: BCE cls on iou labels + (KL or plain)
@@ -937,12 +1025,40 @@ class Detector:
         std = decoded.get('batch_box_std_preds',
                           jnp.zeros_like(decoded['batch_box_preds']))
         return self._final_nms(post, decoded['batch_box_preds'][..., :7],
-                               best_scores, best_labels, std)
+                               best_scores, best_labels, std,
+                               cls_scores_all=scores)
 
-    def _final_nms(self, post, boxes_all, best_scores, best_labels, std_all):
+    def _final_nms(self, post, boxes_all, best_scores, best_labels, std_all,
+                   cls_scores_all=None):
 
         nms_cfg = post.NMS_CONFIG
         use_voting = nms_cfg.NMS_TYPE in ('new_nms_gpu', 'variance_voting')
+        if (nms_cfg.get('MULTI_CLASSES_NMS', False)
+                and cls_scores_all is not None
+                and cls_scores_all.shape[-1] > 1):
+            # per-class NMS merge (model_nms_utils.multi_classes_nms :66-104)
+            pre_max = int(nms_cfg.NMS_PRE_MAXSIZE)
+            post_max = int(nms_cfg.NMS_POST_MAXSIZE)
+
+            def one_sample_mc(boxes_s, cls_s):
+                idx, valid, labels, scores_ = nms_ops.multi_classes_nms(
+                    boxes_s, cls_s, float(nms_cfg.NMS_THRESH),
+                    num_class=self.num_class, pre_max=pre_max,
+                    post_max=post_max,
+                    score_threshold=float(post.get('SCORE_THRESH', 0.0)))
+                k = post_max  # fixed-slot contract: top post_max overall
+                return (boxes_s[idx[:k]], jnp.where(valid[:k], scores_[:k], 0.0),
+                        jnp.where(valid[:k], labels[:k], 0), valid[:k])
+
+            fb, fs, fl, fv = jax.vmap(one_sample_mc)(boxes_all,
+                                                     cls_scores_all)
+            post_score_thresh = float(post.get('POST_SCORE_THRESH', 0.0))
+            if post_score_thresh > 0:
+                keep = fs > post_score_thresh
+                fv = fv & keep
+                fs = jnp.where(keep, fs, 0.0)
+            return {'final_boxes': fb, 'final_scores': fs,
+                    'final_labels': fl, 'final_valid': fv}
         pre_max = int(nms_cfg.NMS_PRE_MAXSIZE)
         post_max = int(nms_cfg.NMS_POST_MAXSIZE)
         thresh = float(nms_cfg.NMS_THRESH)

@@ -23,6 +23,7 @@ ids/mask alongside their dense tensors).  Everything vmapped over batch.
 """
 from __future__ import annotations
 
+import functools
 from typing import Any, Optional, Sequence
 
 import flax.linen as nn
@@ -131,19 +132,62 @@ class VoxelSetAbstraction(nn.Module):
 
     @nn.compact
     def __call__(self, points, points_mask, multi_scale, bev_features,
-                 bev_stride: int, train: bool = True):
+                 bev_stride: int, rois=None, roi_valid=None,
+                 train: bool = True):
         """points (B, P, 3+F) raw; bev_features (B, H, W, C).
+        rois (B, R, 7) + roi_valid (B, R): required for SAMPLE_METHOD=SPC
+        and FILTER_NEIGHBOR_WITH_ROI (PV-RCNN++).
         Returns dict: keypoints (B, K, 3), point_features (B, K, Cout),
         point_features_before_fusion (B, K, Cin)."""
         from flax.core import unfreeze
         from ..config import Cfg
+        from . import vector_pool as vpool
         mcfg = Cfg(unfreeze(self.model_cfg))
         k = int(mcfg.NUM_KEYPOINTS)
         xyz = points[..., :3]
 
+        fps_mask = points_mask
+        if mcfg.get('SAMPLE_METHOD', 'FPS') == 'SPC':
+            # sectorized-proposal-centric sampling
+            # (voxel_set_abstraction.py:206-225): roi-proximity filter +
+            # FPS.  sector_fps is a GPU parallelization of global FPS; on
+            # TPU the masked global FPS is computed directly.
+            assert rois is not None and roi_valid is not None
+            spc = mcfg.SPC_SAMPLING
+            fps_mask = jax.vmap(functools.partial(
+                vpool.sample_points_with_roi_mask,
+                sample_radius=float(spc.SAMPLE_RADIUS_WITH_ROI)))(
+                xyz, points_mask, rois[..., :7], roi_valid)
+            # degenerate scenes (no roi near any point): fall back to all
+            fps_mask = jnp.where(fps_mask.any(-1, keepdims=True),
+                                 fps_mask, points_mask)
         fps_idx = jax.vmap(
-            lambda x, m: pn2.farthest_point_sample(x, k, m))(xyz, points_mask)
+            lambda x, m: pn2.farthest_point_sample(x, k, m))(xyz, fps_mask)
         keypoints = jnp.take_along_axis(xyz, fps_idx[..., None], axis=1)
+
+        def aggregate(cfg_s, kp, sxyz, sfeats, smask, name):
+            """One feature source: StackSA (PV-RCNN) or VectorPool MSG
+            (PV-RCNN++), with optional roi-proximity neighbor filter."""
+            if cfg_s.get('FILTER_NEIGHBOR_WITH_ROI', False):
+                assert rois is not None and roi_valid is not None
+                smask = jax.vmap(functools.partial(
+                    vpool.sample_points_with_roi_mask,
+                    sample_radius=float(
+                        cfg_s.RADIUS_OF_NEIGHBOR_WITH_ROI)))(
+                    sxyz, smask, rois[..., :7], roi_valid)
+            if cfg_s.get('NAME', '') == 'VectorPoolAggregationModuleMSG':
+                if sfeats is None:
+                    sfeats = jnp.ones((*sxyz.shape[:2], 1), sxyz.dtype)
+                return vpool.VectorPoolAggregationMSG(
+                    model_cfg=dict(cfg_s), axis_name=self.axis_name,
+                    name=f'vp_{name}')(sxyz, smask, sfeats, keypoints,
+                                       train=train)
+            return StackSAModuleMSG(
+                radii=tuple(cfg_s.POOL_RADIUS),
+                nsamples=tuple(cfg_s.NSAMPLE),
+                mlps=tuple(tuple(m) for m in cfg_s.MLPS),
+                axis_name=self.axis_name, name=f'sa_{name}')(
+                kp, sxyz, sfeats, smask, train=train)
 
         feats_list = []
         sources = list(mcfg.FEATURES_SOURCE)
@@ -160,26 +204,17 @@ class VoxelSetAbstraction(nn.Module):
         sa_cfg = mcfg.SA_LAYER
         if 'raw_points' in sources:
             raw_feats = points[..., 3:] if points.shape[-1] > 3 else None
-            cfg_r = sa_cfg['raw_points']
-            feats_list.append(StackSAModuleMSG(
-                radii=tuple(cfg_r.POOL_RADIUS),
-                nsamples=tuple(cfg_r.NSAMPLE),
-                mlps=tuple(tuple(m) for m in cfg_r.MLPS),
-                axis_name=self.axis_name, name='sa_raw_points')(
-                keypoints, xyz, raw_feats, points_mask, train=train))
+            feats_list.append(aggregate(
+                sa_cfg['raw_points'], keypoints, xyz, raw_feats,
+                points_mask, 'raw_points'))
 
         for src in sources:
             if src in ('bev', 'raw_points'):
                 continue
-            cfg_s = sa_cfg[src]
             sxyz, sfeats, smask = sparse_level_points(
                 multi_scale[src], self.voxel_size, self.pc_range)
-            feats_list.append(StackSAModuleMSG(
-                radii=tuple(cfg_s.POOL_RADIUS),
-                nsamples=tuple(cfg_s.NSAMPLE),
-                mlps=tuple(tuple(m) for m in cfg_s.MLPS),
-                axis_name=self.axis_name, name=f'sa_{src}')(
-                keypoints, sxyz, sfeats, smask, train=train))
+            feats_list.append(aggregate(
+                sa_cfg[src], keypoints, sxyz, sfeats, smask, src))
 
         before_fusion = jnp.concatenate(feats_list, axis=-1)
         h = nn.Dense(int(mcfg.NUM_OUTPUT_FEATURES), use_bias=False,

@@ -470,12 +470,22 @@ class PVRCNNHead(nn.Module):
         grid_pts = roi_grid_points(flat_rois, g).reshape(b, r * g ** 3, 3)
 
         kp_mask = jnp.ones(kp_xyz.shape[:2], bool)
-        pooled = StackSAModuleMSG(
-            radii=tuple(pool_cfg.POOL_RADIUS),
-            nsamples=tuple(pool_cfg.NSAMPLE),
-            mlps=tuple(tuple(m) for m in pool_cfg.MLPS),
-            axis_name=self.axis_name, name='roi_grid_pool')(
-            grid_pts, kp_xyz, kp_feats, kp_mask, train=train)
+        if pool_cfg.get('NAME', '') == 'VectorPoolAggregationModuleMSG':
+            # PV-RCNN++ roi grid pooling (pvrcnn_head_plus semantics:
+            # pointnet2_modules VectorPoolAggregationModuleMSG over the
+            # weighted keypoint features, queries = roi grid points)
+            from .vector_pool import VectorPoolAggregationMSG
+            pooled = VectorPoolAggregationMSG(
+                model_cfg=dict(pool_cfg), axis_name=self.axis_name,
+                name='roi_grid_vpool')(
+                kp_xyz, kp_mask, kp_feats, grid_pts, train=train)
+        else:
+            pooled = StackSAModuleMSG(
+                radii=tuple(pool_cfg.POOL_RADIUS),
+                nsamples=tuple(pool_cfg.NSAMPLE),
+                mlps=tuple(tuple(m) for m in pool_cfg.MLPS),
+                axis_name=self.axis_name, name='roi_grid_pool')(
+                grid_pts, kp_xyz, kp_feats, kp_mask, train=train)
         feats = pooled.reshape(b * r, g ** 3 * pooled.shape[-1])
 
         def fc_stack(x, sizes, name):

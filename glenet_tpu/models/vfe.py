@@ -110,11 +110,78 @@ class DynamicMeanVFE(nn.Module):
     """Scatter-based mean VFE: points (N, C) + per-point voxel slot ids.
 
     Equivalent of dynamic_mean_vfe.py (torch_scatter mean) using
-    jax.ops.segment_sum with a static voxel budget.
+    jax.ops.segment_sum with a static voxel budget (`num_voxels` is passed
+    at call time so the batch can be flattened into the segment axis).
     """
-    max_voxels: int
 
     @nn.compact
-    def __call__(self, points, point_voxel_idx, train: bool = True):
+    def __call__(self, points, point_voxel_idx, num_voxels: int,
+                 train: bool = True):
         from ..ops import scatter
-        return scatter.segment_mean(points, point_voxel_idx, self.max_voxels)
+        return scatter.segment_mean(points, point_voxel_idx, num_voxels)
+
+
+class DynamicPillarVFE(nn.Module):
+    """Scatter-based pillar encoder (dynamic_pillar_vfe.py:43-142):
+    per-point [xyz, feats, cluster-offset, center-offset] -> PFNLayerV2
+    stack where each layer is Linear+BN+ReLU followed by a per-pillar
+    scatter-max (concatenated back onto the points between layers).
+
+    points (N, C); point_voxel_idx (N,) slot ids (-1 dropped);
+    voxel_coords (V, 3) as (z, y, x) -> (V, num_filters[-1]).
+    """
+    num_filters: Sequence[int]
+    voxel_size: tuple
+    point_cloud_range: tuple
+    use_absolute_xyz: bool = True
+    with_distance: bool = False
+    use_norm: bool = True
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, points, point_voxel_idx, voxel_coords,
+                 num_voxels: int, train: bool = True):
+        from ..ops import scatter
+        vx, vy, vz = self.voxel_size
+        x0, y0, z0 = self.point_cloud_range[:3]
+        valid = point_voxel_idx >= 0
+        xyz = points[:, :3]
+
+        # cluster offset: point - mean xyz of its pillar
+        mean_xyz = scatter.segment_mean(
+            jnp.where(valid[:, None], xyz, 0.0), point_voxel_idx,
+            num_voxels)
+        safe_idx = jnp.where(valid, point_voxel_idx, 0)
+        f_cluster = xyz - mean_xyz[safe_idx]
+
+        # center offset: point - its voxel center
+        cz, cy, cx = (voxel_coords[:, 0], voxel_coords[:, 1],
+                      voxel_coords[:, 2])
+        centers = jnp.stack(
+            [cx.astype(xyz.dtype) * vx + (vx / 2 + x0),
+             cy.astype(xyz.dtype) * vy + (vy / 2 + y0),
+             cz.astype(xyz.dtype) * vz + (vz / 2 + z0)], axis=1)
+        f_center = xyz - centers[safe_idx]
+
+        feats = ([points, f_cluster, f_center] if self.use_absolute_xyz
+                 else [points[:, 3:], f_cluster, f_center])
+        if self.with_distance:
+            feats.append(jnp.linalg.norm(xyz, axis=1, keepdims=True))
+        x = jnp.concatenate(feats, axis=-1)
+        x = jnp.where(valid[:, None], x, 0.0)
+
+        filters = list(self.num_filters)
+        for i, f in enumerate(filters):
+            last = i == len(filters) - 1
+            x = nn.Dense(f, use_bias=not self.use_norm, name=f'pfn_{i}')(x)
+            if self.use_norm:
+                x = MaskedBatchNorm(axis_name=self.axis_name,
+                                    name=f'pfn_bn{i}')(
+                    x, mask=valid, use_running_average=not train)
+            x = nn.relu(x)
+            x = jnp.where(valid[:, None], x, 0.0)
+            x_max = scatter.segment_max(x, point_voxel_idx, num_voxels)
+            if last:
+                return x_max                                  # (V, f)
+            x = jnp.concatenate([x, x_max[safe_idx]], axis=-1)
+            x = jnp.where(valid[:, None], x, 0.0)

@@ -107,6 +107,44 @@ def voxelize(points, points_mask, voxel_size, pc_range, grid_size,
     }
 
 
+@partial(jax.jit, static_argnames=('max_voxels', 'grid_size', 'voxel_size',
+                                   'pc_range'))
+def voxelize_dynamic(points, points_mask, voxel_size, pc_range, grid_size,
+                     max_voxels: int):
+    """Dynamic voxelization: per-point voxel slot WITHOUT a per-voxel point
+    cap and WITHOUT materializing the (V, P, C) gather tensor — feeds the
+    scatter-based dynamic VFEs (reference dynamic_pillar_vfe.py:1-142 /
+    dynamic_mean_vfe.py, which use torch_scatter over all points).
+
+    Returns dict: voxel_coords (max_voxels, 3) int32 (z, y, x) -1-pad,
+    voxel_mask (max_voxels,), point_voxel_idx (N,) int32 (-1 = dropped).
+    """
+    nx, ny, nz = grid_size
+    vsize = jnp.asarray(voxel_size, jnp.float32)
+    origin = jnp.asarray(pc_range[:3], jnp.float32)
+    coords = jnp.floor((points[:, :3] - origin) / vsize).astype(jnp.int32)
+    in_range = ((coords >= 0).all(axis=1)
+                & (coords[:, 0] < nx) & (coords[:, 1] < ny)
+                & (coords[:, 2] < nz) & points_mask)
+    n_cells = nx * ny * nz
+    vid = coords[:, 2] * (ny * nx) + coords[:, 1] * nx + coords[:, 0]
+    vid = jnp.where(in_range, vid, n_cells)
+    uniq = jnp.unique(jnp.sort(vid), size=max_voxels, fill_value=n_cells)
+    voxel_mask = uniq < n_cells
+    slot = jnp.searchsorted(uniq, vid)
+    hit = (slot < max_voxels) & in_range
+    hit = hit & (jnp.where(hit, uniq[jnp.clip(slot, 0, max_voxels - 1)],
+                           n_cells) == vid)
+    point_voxel = jnp.where(hit, slot, -1).astype(jnp.int32)
+    z = uniq // (ny * nx)
+    rem = uniq % (ny * nx)
+    voxel_coords = jnp.where(
+        voxel_mask[:, None],
+        jnp.stack([z, rem // nx, rem % nx], axis=1), -1).astype(jnp.int32)
+    return {'voxel_coords': voxel_coords, 'voxel_mask': voxel_mask,
+            'point_voxel_idx': point_voxel}
+
+
 def compute_grid_size(pc_range, voxel_size):
     grid = (np.asarray(pc_range[3:6]) - np.asarray(pc_range[0:3])) / np.asarray(voxel_size)
     grid = np.round(grid).astype(np.int64)

@@ -116,6 +116,18 @@ def test_anchor_head_multi_trains(rng):
     assert np.isfinite(np.asarray(preds['final_boxes'])).all()
     assert set(np.unique(np.asarray(preds['final_labels']))) <= {0, 1, 2}
 
+    # multi-class NMS post-processing (second_multihead.yaml path)
+    post = copy.deepcopy(cfg.MODEL.POST_PROCESSING)
+    post.NMS_CONFIG.MULTI_CLASSES_NMS = True
+    preds_mc = jax.jit(lambda v, b: det.predict(v, b, post_cfg=post))(
+        {'params': params, **state}, batch)
+    k = int(post.NMS_CONFIG.NMS_POST_MAXSIZE)
+    assert preds_mc['final_boxes'].shape == (2, k, 7)
+    assert np.isfinite(np.asarray(preds_mc['final_boxes'])).all()
+    # merged keeps must be sorted by score descending per sample
+    fs = np.asarray(preds_mc['final_scores'])
+    assert (np.diff(fs, axis=1) <= 1e-6).all()
+
 
 def test_atss_semantics():
     """Adaptive threshold: the gt's overlapping close anchors become

@@ -173,3 +173,55 @@ def test_voxelrcnn_trains_and_predicts(rng):
         {'params': params, **state}, batch)
     assert preds['final_boxes'].shape == (2, 16, 7)
     assert np.isfinite(np.asarray(preds['final_boxes'])).all()
+
+
+@pytest.mark.slow
+def test_voxelrcnn_with_centerhead_rpn_trains(rng):
+    """CenterHead proposals feeding the roi head (reference waymo
+    voxel_rcnn_with_centerhead_dyn_voxel.yaml / pv_rcnn_with_centerhead_rpn
+    topology) — the non-anchor proposal path."""
+    cfg = make_vr_cfg()
+    cfg.MODEL.ROI_HEAD.NAME = 'VoxelRCNNHead'
+    cfg.MODEL.DENSE_HEAD = Cfg({
+        'NAME': 'CenterHead', 'CLASS_AGNOSTIC': False,
+        'CLASS_NAMES_EACH_HEAD': [['Car']],
+        'SHARED_CONV_CHANNEL': 16,
+        'TARGET_ASSIGNER_CONFIG': {
+            'FEATURE_MAP_STRIDE': 8, 'NUM_MAX_OBJS': 100,
+            'GAUSSIAN_OVERLAP': 0.1, 'MIN_RADIUS': 2},
+        'LOSS_CONFIG': {'LOSS_WEIGHTS': {
+            'cls_weight': 1.0, 'loc_weight': 2.0,
+            'code_weights': [1.0] * 8}},
+        'POST_PROCESSING': {'SCORE_THRESH': 0.0,
+                            'MAX_OBJ_PER_SAMPLE': 64},
+    })
+    cfg.MODEL.POST_PROCESSING.NMS_CONFIG.NMS_TYPE = 'nms_gpu'
+    det = build_detector(cfg)
+    batch = make_batch(rng)
+    variables = det.init(jax.random.PRNGKey(0), batch)
+    tx = optax.adam(1e-3)
+    params = variables['params']
+    state = {k: v for k, v in variables.items() if k != 'params'}
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, state, opt_state, key):
+        def lf(p):
+            return det.loss_fn({'params': p, **state}, batch, rng=key)
+        (loss, (metrics, new_state)), grads = jax.value_and_grad(
+            lf, has_aux=True)(params)
+        updates, opt_state2 = tx.update(grads, opt_state)
+        return (optax.apply_updates(params, updates), new_state, opt_state2,
+                loss, metrics)
+
+    losses = []
+    for i in range(4):
+        params, state, opt_state, loss, metrics = step(
+            params, state, opt_state, jax.random.PRNGKey(i))
+        losses.append(float(loss))
+    assert np.isfinite(losses).all(), losses
+    assert 'rcnn_loss_cls' in metrics and 'rcnn_loss_reg' in metrics
+    preds = jax.jit(lambda v, b: det.predict(v, b))(
+        {'params': params, **state}, batch)
+    assert preds['final_boxes'].shape == (2, 16, 7)
+    assert np.isfinite(np.asarray(preds['final_boxes'])).all()
