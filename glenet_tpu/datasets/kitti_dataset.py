@@ -66,6 +66,11 @@ class KittiDataset:
 
         proc_names = [p.NAME for p in dataset_cfg.DATA_PROCESSOR]
         self.shuffle_points = training and 'shuffle_points' in proc_names
+        from .processor import find_processor
+        sp = find_processor(dataset_cfg, 'sample_points')
+        self.num_sample_points = (
+            int(sp.NUM_POINTS['train' if training else 'test'])
+            if sp is not None else -1)
 
         self.augmentor = None
         if training and dataset_cfg.get('DATA_AUGMENTOR', None) is not None:
@@ -208,6 +213,10 @@ class KittiDataset:
         in_range = ((points[:, :3] >= self.pc_range[:3]).all(axis=1)
                     & (points[:, :3] <= self.pc_range[3:6]).all(axis=1))
         points = points[in_range]
+        if self.num_sample_points > 0:
+            from .processor import sample_points_near_far
+            points = sample_points_near_far(
+                points, self.num_sample_points, self.rng)
         if self.shuffle_points:
             self.rng.shuffle(points)
 

@@ -236,3 +236,29 @@ def test_waymo_kfold_pipeline_and_injection(tmp_path, rng):
     assert (a[1] == -1).all()          # Pedestrian
     assert (a[0] >= 0).all()           # Vehicle
     assert out_db['Vehicle'][0]['uncertainty'].shape == (7,)
+
+
+def test_cvae_analysis_variance_iou_stats():
+    """analysis.py: tight samples -> high IoU + low variance; loose ->
+    low IoU + high variance; correlation must come out negative."""
+    from glenet_tpu.cvae.analysis import analyze, residual_samples
+    rng = np.random.RandomState(0)
+    gt_a = np.array([10., 0., -1., 3.9, 1.6, 1.56, 0.3])
+    gt_b = np.array([20., 5., -1., 3.9, 1.6, 1.56, -0.5])
+    per_pass = []
+    for k in range(8):
+        pass_d = {}
+        pass_d['000_0'] = {'pred_box': gt_a + rng.normal(0, 0.01, 7),
+                           'gt_box': gt_a}
+        pass_d['000_1'] = {'pred_box': gt_b + rng.normal(0, 0.6, 7),
+                           'gt_box': gt_b}
+        per_pass.append(pass_d)
+    res = residual_samples(per_pass)
+    assert res['000_0'].shape == (8, 7)
+    # tight object: residuals near zero
+    assert np.abs(res['000_0']).max() < 0.05
+    rep = analyze(per_pass, point_counts={'000_0': 500, '000_1': 12})
+    assert rep['n_objects'] == 2
+    assert rep['corr_variance_iou'] < 0      # more variance -> less IoU
+    assert np.isfinite(rep['nll'])
+    assert 'corr_variance_pointnum' in rep

@@ -241,3 +241,21 @@ def test_iter_batches_per_host_sharding(kitti_root):
         if len(all_frames) >= len(ds):
             break
     assert merged == all_frames[:len(ds)]
+
+
+def test_sample_points_near_far():
+    """Reference data_processor.py:154-184: far (>=40m) points always kept
+    when the budget allows; output exactly num_points; oversampling repeats."""
+    from glenet_tpu.datasets.processor import sample_points_near_far
+    rng = np.random.RandomState(0)
+    near = np.concatenate([rng.uniform(1, 30, (100, 3)),
+                           np.zeros((100, 1))], 1)
+    far = np.concatenate([rng.uniform(50, 70, (20, 3)),
+                          np.ones((20, 1))], 1)
+    pts = np.concatenate([near, far]).astype(np.float32)
+    out = sample_points_near_far(pts, 60, rng)
+    assert out.shape == (60, 4)
+    assert (out[:, 3] == 1).sum() == 20       # all far points kept
+    out2 = sample_points_near_far(pts, 150, rng)
+    assert out2.shape == (150, 4)             # oversample with repeats
+    assert sample_points_near_far(pts, -1, rng).shape == pts.shape

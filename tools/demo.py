@@ -22,6 +22,10 @@ def main():
     parser.add_argument('--ext', type=str, default='.bin')
     parser.add_argument('--output', type=str, default=None,
                         help='write detections as JSON lines here')
+    parser.add_argument('--html_dir', type=str, default=None,
+                        help='export interactive 3D HTML scenes here')
+    parser.add_argument('--ply_dir', type=str, default=None,
+                        help='export PLY point clouds + box wireframes here')
     args = parser.parse_args()
 
     import jax
@@ -83,6 +87,23 @@ def main():
         logger.info(f"{record['frame']}: {int(v.sum())} detections")
         if sink:
             print(line, file=sink)
+        if args.html_dir or args.ply_dir:
+            from visual_utils import scene_vis
+            raw = np.fromfile(f, dtype=np.float32).reshape(-1, 4)
+            boxes = np.asarray(record['boxes_lidar'], np.float32).reshape(-1, 7)
+            scores = np.asarray(record['scores'], np.float32)
+            labels = preds['final_labels'][0][v]
+            if args.html_dir:
+                Path(args.html_dir).mkdir(parents=True, exist_ok=True)
+                scene_vis.export_scene_html(
+                    raw, Path(args.html_dir) / f"{record['frame']}.html",
+                    ref_boxes=boxes, ref_scores=scores, ref_labels=labels,
+                    class_names=list(cfg.CLASS_NAMES))
+            if args.ply_dir:
+                Path(args.ply_dir).mkdir(parents=True, exist_ok=True)
+                scene_vis.export_ply(
+                    raw, Path(args.ply_dir) / f"{record['frame']}.ply",
+                    ref_boxes=boxes)
     if sink:
         sink.close()
 

@@ -131,7 +131,68 @@ def main():
           f'losses={np.round(losses, 2)} (decreasing={losses[-1] < losses[0]}),'
           f' predict kept={nkept}, total {time.time() - t0:.0f}s')
 
-    # ---- 4. multichip dryrun (virtual 8-device CPU mesh) -------------------
+    # ---- 4. PV-RCNN++ tiny: CenterHead proposals -> SPC -> VectorPool ------
+    from test_pvrcnn_plusplus import make_pvpp_cfg
+    from test_second import make_batch as make_tiny_batch
+    cfg = make_pvpp_cfg()
+    det = build_detector(cfg)
+    tb = make_tiny_batch(np.random.RandomState(5))
+    t0 = time.time()
+    variables = det.init(jax.random.PRNGKey(0), tb)
+    params = variables['params']
+    mstate = {k: v for k, v in variables.items() if k != 'params'}
+    opt_state = (tx := optax.adam(1e-3)).init(params)
+
+    @jax.jit
+    def pvpp_step(params, mstate, opt_state, key):
+        def lf(p):
+            return det.loss_fn({'params': p, **mstate}, tb, rng=key)
+        (loss, (m, ns)), grads = jax.value_and_grad(lf, has_aux=True)(params)
+        gn = optax.global_norm(grads)
+        u, o2 = tx.update(grads, opt_state)
+        return optax.apply_updates(params, u), ns, o2, loss, gn
+
+    losses = []
+    for i in range(3):
+        params, mstate, opt_state, loss, gn = pvpp_step(
+            params, mstate, opt_state, jax.random.PRNGKey(i))
+        losses.append(float(loss))
+        assert np.isfinite(float(gn)), 'pvpp grad not finite'
+    preds = jax.jit(lambda v, b: det.predict(v, b))(
+        {'params': params, **mstate}, tb)
+    assert np.isfinite(np.asarray(preds['final_boxes'])).all()
+    # degenerate: no valid points / no gt in sample 0
+    tb2 = dict(tb)
+    tb2['points_mask'] = tb['points_mask'].at[0].set(False)
+    preds2 = jax.jit(lambda v, b: det.predict(v, b))(
+        {'params': params, **mstate}, tb2)
+    assert np.isfinite(np.asarray(preds2['final_boxes'])).all()
+    print(f'pvrcnn++ tiny: 3 TPU train steps losses={np.round(losses, 2)}, '
+          f'predict finite (incl. empty-scene batch), {time.time()-t0:.0f}s')
+
+    # ---- 5. demo CLI with HTML/PLY scene export ----------------------------
+    import tempfile
+    tmp = Path(tempfile.mkdtemp())
+    pts = np.zeros((4000, 4), np.float32)
+    rng2 = np.random.RandomState(7)
+    pts[:, 0] = rng2.uniform(0, 60, 4000)
+    pts[:, 1] = rng2.uniform(-30, 30, 4000)
+    pts[:, 2] = rng2.normal(-1.6, 0.3, 4000)
+    pts.tofile(tmp / '000000.bin')
+    r = subprocess.run(
+        [sys.executable, str(ROOT / 'tools/demo.py'),
+         '--cfg_file', str(ROOT / 'configs/kitti_models/pointpillar.yaml'),
+         '--data_path', str(tmp / '000000.bin'),
+         '--output', str(tmp / 'det.json'),
+         '--html_dir', str(tmp / 'html'), '--ply_dir', str(tmp / 'ply')],
+        capture_output=True, text=True, timeout=1200)
+    assert r.returncode == 0, r.stderr[-1000:]
+    assert (tmp / 'html/000000.html').exists()
+    assert (tmp / 'ply/000000.ply').exists()
+    print('demo CLI + scene export: OK '
+          f'({(tmp / "html/000000.html").stat().st_size} html bytes)')
+
+    # ---- 6. multichip dryrun (virtual 8-device CPU mesh) -------------------
     r = subprocess.run([sys.executable, str(ROOT / '__graft_entry__.py'),
                         'multichip', '8'],
                        capture_output=True, text=True, timeout=1200)
