@@ -120,12 +120,22 @@ class DetectorNet(nn.Module):
         self.part_head = None
         if ph_cfg is not None and ph_cfg.get('NAME') == 'PointIntraPartOffsetHead':
             from .point_heads import PointIntraPartOffsetHead
+            extra = {}
+            if (ph_cfg.get('REG_FC') is not None
+                    and ph_cfg.get('TARGET_CONFIG', {}).get('BOX_CODER')):
+                # anchor-free box branch (PartA2_free.yaml)
+                pt_coder = box_coder_lib.build_box_coder(
+                    ph_cfg.TARGET_CONFIG.BOX_CODER,
+                    **ph_cfg.TARGET_CONFIG.get('BOX_CODER_CONFIG', {}))
+                self._pt_coder = pt_coder
+                extra = dict(reg_fc=tuple(ph_cfg.REG_FC),
+                             code_size=pt_coder.code_size)
             self.part_head = PointIntraPartOffsetHead(
                 num_class=(1 if ph_cfg.get('CLASS_AGNOSTIC', True)
                            else self.num_class),
                 cls_fc=tuple(ph_cfg.get('CLS_FC', [])),
                 part_fc=tuple(ph_cfg.get('PART_FC', [])),
-                axis_name=self.axis_name)
+                axis_name=self.axis_name, **extra)
         elif ph_cfg is not None and ph_cfg.get('NAME') == 'PointHeadSimple':
             from .pfe import PointHeadSimple
             self.point_head_simple = PointHeadSimple(
@@ -164,6 +174,31 @@ class DetectorNet(nn.Module):
                                else self.num_class),
                     code_size=7, axis_name=self.axis_name)
             self._mcfg = mcfg
+            return
+
+        self._is_part_free = mcfg.get('DENSE_HEAD', None) is None
+        if self._is_part_free:
+            # PartA2-free topology (reference PartA2_free.yaml: PointRCNN
+            # detector class with a UNetV2 backbone, the intra-part head as
+            # the anchor-free stage 1, and NO BEV/dense-head stages).
+            self.map_to_bev = None
+            self.backbone_2d = None
+            self.dense_head = None
+            self._mcfg = mcfg
+            self._anchor_set = None
+            roi_cfg = mcfg.get('ROI_HEAD', None)
+            self._coder = box_coder_lib.build_box_coder(
+                (roi_cfg or {}).get('TARGET_CONFIG', {}).get(
+                    'BOX_CODER', 'ResidualCoder'))
+            self._roi_is_pvrcnn = self._roi_is_second = False
+            self._roi_is_parta2 = roi_cfg is not None
+            if roi_cfg is not None:
+                from .roi_heads import PartA2FCHead
+                self.roi_head = PartA2FCHead(
+                    model_cfg=roi_cfg, code_size=self._coder.code_size,
+                    axis_name=self.axis_name)
+            else:
+                self.roi_head = None
             return
 
         m2b = mcfg.MAP_TO_BEV  # (voxel topologies only; point path returned)
@@ -381,6 +416,10 @@ class DetectorNet(nn.Module):
                 lambda f, c, m: self.map_to_bev(f, c, m, train=train))(
                 feats, vox['voxel_coords'], vox['voxel_mask'])
 
+        if self._is_part_free:
+            return self._part_free_forward(sp_out, gt_boxes, gt_mask,
+                                           gt_uncertainty, train)
+
         spatial_2d = self.backbone_2d(spatial, train=train)
         out = {'dense_head': self.dense_head(spatial_2d, train=train)}
 
@@ -516,6 +555,94 @@ class DetectorNet(nn.Module):
         else:
             out['rcnn'] = self.roi_head(roi_in, multi_scale, train=train)
         out['rcnn']['rois'] = roi_in
+        return out
+
+    def _part_free_forward(self, sp_out, gt_boxes, gt_mask, gt_uncertainty,
+                           train):
+        """PartA2-free stage 1 + 2: intra-part head (with box branch) on the
+        UNet voxel-point features -> anchor-free proposals -> roiaware
+        PartA2FCHead (reference PartA2_free.yaml topology; proposal flow as
+        point_rcnn.py, part assembly partA2_head.py:118-126 with
+        DISABLE_PART substituting raw coords for part offsets)."""
+        import functools
+        from flax.core import unfreeze
+        from ..config import Cfg
+        from ..ops import nms as nms_ops
+        from . import roi_heads as roi_lib
+
+        coords = sp_out['point_coords']
+        pmask = sp_out['point_mask']
+        part_out = self.part_head(sp_out['point_features'], pmask,
+                                  train=train)
+        part_out['point_coords'] = coords
+        part_out['point_mask'] = pmask
+        out = {'part_head': part_out}
+        if self.roi_head is None:
+            out['point_head'] = {
+                'point_cls_preds': part_out['point_cls_preds'],
+                'point_box_preds': part_out['point_box_preds'],
+                'point_xyz': coords, 'point_mask': pmask}
+            return out
+
+        roi_cfg = Cfg(unfreeze(self._mcfg)).ROI_HEAD
+        cls = jax.nn.sigmoid(part_out['point_cls_preds'])
+        cls = jnp.where(pmask[..., None], cls, 0.0)
+        best_scores = cls.max(axis=-1)
+        best_labels = cls.argmax(axis=-1) + 1
+        boxes = jax.vmap(
+            lambda enc, x, lab: self._pt_coder.decode(enc, x, lab))(
+            part_out['point_box_preds'], coords, best_labels)
+
+        nms_cfg = roi_cfg.NMS_CONFIG['TRAIN' if train else 'TEST']
+        pre_max = int(nms_cfg.NMS_PRE_MAXSIZE)
+        post_max = int(nms_cfg.NMS_POST_MAXSIZE)
+
+        def one_sample(boxes_s, scores_s, labels_s):
+            idx, valid = nms_ops.nms_bev(
+                boxes_s[:, :7], scores_s, float(nms_cfg.NMS_THRESH),
+                pre_max=pre_max, post_max=post_max,
+                score_threshold=float(nms_cfg.get('SCORE_THRESH', 0.0)))
+            return (boxes_s[idx, :7], jnp.where(valid, scores_s[idx], 0.0),
+                    jnp.where(valid, labels_s[idx], 0), valid)
+
+        rois, roi_scores, roi_labels, roi_valid = jax.vmap(one_sample)(
+            boxes, best_scores, best_labels)
+        rois, roi_scores = jax.lax.stop_gradient((rois, roi_scores))
+        out['proposals'] = {'rois': rois, 'roi_scores': roi_scores,
+                            'roi_labels': roi_labels, 'roi_valid': roi_valid}
+
+        if train:
+            assert gt_boxes is not None
+            rng = self.make_rng('roi_sampler')
+            keys = jax.random.split(rng, rois.shape[0])
+            unc = (gt_uncertainty if gt_uncertainty is not None
+                   else jnp.ones((*gt_boxes.shape[:2], 7), boxes.dtype))
+            targets = jax.vmap(functools.partial(
+                roi_lib.sample_rois_single, cfg=roi_cfg.TARGET_CONFIG))(
+                keys, rois, roi_scores, roi_labels, gt_boxes, gt_mask, unc)
+            targets['gt_of_rois_ct'] = jax.vmap(roi_lib.canonical_gt_of_rois)(
+                targets['rois'], targets['gt_of_rois_src'])
+            targets = jax.lax.stop_gradient(targets)
+            out['roi_targets'] = targets
+            roi_in = targets['rois']
+        else:
+            roi_in = rois
+
+        # part-feature assembly (partA2_head.py:118-126): DISABLE_PART
+        # substitutes the raw point coords for the sigmoid part offsets
+        thresh = float(roi_cfg.get('SEG_MASK_SCORE_THRESH', 0.3))
+        score = jax.lax.stop_gradient(
+            jax.nn.sigmoid(part_out['point_cls_preds']).max(axis=-1))
+        if roi_cfg.get('DISABLE_PART', False):
+            first3 = coords
+        else:
+            first3 = jax.nn.sigmoid(part_out['point_part_preds'])
+        first3 = jnp.where((score >= thresh)[..., None], first3, 0.0)
+        part_feats = jnp.concatenate([first3, score[..., None]], axis=-1)
+        rcnn = self.roi_head(roi_in, coords, sp_out['point_features'],
+                             part_feats, pmask, train=train)
+        rcnn['rois'] = roi_in
+        out['rcnn'] = rcnn
         return out
 
     def _point_rcnn_stage2(self, out, points, points_mask, feats, gt_boxes,
@@ -708,6 +835,8 @@ class Detector:
         return loss, (metrics, new_state)
 
     def compute_loss(self, full_out, batch):
+        if 'part_head' in full_out and 'dense_head' not in full_out:
+            return self._part_free_loss(full_out, batch)
         if 'point_head' in full_out:
             total, metrics = self._point_loss(full_out['point_head'], batch)
             if 'rcnn' in full_out and 'roi_targets' in full_out:
@@ -852,6 +981,55 @@ class Detector:
             total = total + rcnn_total
             metrics.update(rcnn_metrics)
 
+        metrics['loss'] = total
+        return total, metrics
+
+    def _part_free_loss(self, full_out, batch):
+        """PartA2-free losses: multi-class focal cls + smooth-L1 box on the
+        anchor-free branch (point_head_template), part-location BCE over
+        fg, plus the rcnn losses (point_intra_part_head.get_loss)."""
+        from . import point_heads as ph
+        po = full_out['part_head']
+        ph_cfg = self.model_cfg.POINT_HEAD
+        extra = tuple(ph_cfg.TARGET_CONFIG.get('GT_EXTRA_WIDTH',
+                                               [0.2, 0.2, 0.2]))
+        lw = ph_cfg.LOSS_CONFIG.LOSS_WEIGHTS
+        coords, pmask = po['point_coords'], po['point_mask']
+
+        cls_l, box_t, fg = jax.vmap(
+            lambda px, pm, gb, gm: ph.assign_point_targets(
+                px, pm, gb, gm, self.point_coder, extra_width=extra)
+        )(coords, pmask, batch['gt_boxes'], batch['gt_mask'])
+        _, part_t, fg_p = jax.vmap(functools.partial(
+            ph.assign_part_targets, extra_width=extra))(
+            coords, pmask, batch['gt_boxes'], batch['gt_mask'])
+
+        nc = po['point_cls_preds'].shape[-1]
+        flat = {
+            'point_cls_preds': po['point_cls_preds'].reshape(-1, nc),
+            'point_box_preds': po['point_box_preds'].reshape(
+                -1, po['point_box_preds'].shape[-1]),
+        }
+        c_l, b_l = ph.point_head_loss(
+            flat, cls_l.reshape(-1), box_t.reshape(-1, box_t.shape[-1]),
+            fg.reshape(-1), nc, lw)
+
+        part_prob = jax.nn.sigmoid(po['point_part_preds'].reshape(-1, 3))
+        part_t_f = part_t.reshape(-1, 3)
+        fgf = fg_p.reshape(-1).astype(jnp.float32)
+        bce = -(part_t_f * jnp.log(jnp.clip(part_prob, 1e-7, None))
+                + (1 - part_t_f) * jnp.log(jnp.clip(1 - part_prob, 1e-7,
+                                                    None)))
+        p_l = (bce.mean(axis=-1) * fgf).sum() / jnp.clip(fgf.sum(), 1.0,
+                                                         None)
+        p_l = p_l * lw.get('point_part_weight', 1.0)
+
+        total = c_l + b_l + p_l
+        metrics = {'loss_cls': c_l, 'loss_loc': b_l, 'point_loss_part': p_l}
+        if 'rcnn' in full_out and 'roi_targets' in full_out:
+            rcnn_total, rcnn_metrics = self._rcnn_loss(full_out)
+            total = total + rcnn_total
+            metrics.update(rcnn_metrics)
         metrics['loss'] = total
         return total, metrics
 

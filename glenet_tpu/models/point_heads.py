@@ -57,6 +57,9 @@ class PointIntraPartOffsetHead(nn.Module):
     num_class: int = 1
     cls_fc: Sequence[int] = ()
     part_fc: Sequence[int] = ()
+    reg_fc: Sequence[int] = ()
+    code_size: int = 0   # > 0 adds the anchor-free box branch (PartA2_free,
+    #                      point_intra_part_head.py:31-37 REG_FC box_layers)
     axis_name: Optional[str] = None
 
     @nn.compact
@@ -74,7 +77,13 @@ class PointIntraPartOffsetHead(nn.Module):
             stack(point_features, self.cls_fc, 'cls'))
         part = nn.Dense(3, name='part_out')(
             stack(point_features, self.part_fc, 'part'))
-        return {'point_cls_preds': cls, 'point_part_preds': part}
+        out = {'point_cls_preds': cls, 'point_part_preds': part}
+        if self.code_size > 0:
+            out['point_box_preds'] = nn.Dense(
+                self.code_size, name='box_out',
+                kernel_init=nn.initializers.normal(0.001))(
+                stack(point_features, self.reg_fc, 'reg'))
+        return out
 
 
 def assign_part_targets(points_xyz, points_mask, gt_boxes, gt_mask,

@@ -207,3 +207,76 @@ def test_parta2_trains_and_predicts(rng):
         {'params': params, **state}, batch)
     assert preds['final_boxes'].shape == (2, 16, 7)
     assert np.isfinite(np.asarray(preds['final_boxes'])).all()
+
+
+def make_parta2_free_cfg():
+    """PartA2_free.yaml topology at tiny scale: no BEV stages, intra-part
+    head with an anchor-free PointResidualCoder box branch, DISABLE_PART
+    roiaware refinement."""
+    cfg = make_parta2_cfg()
+    cfg.MODEL.NAME = 'PointRCNN'
+    del cfg.MODEL['DENSE_HEAD']
+    del cfg.MODEL['MAP_TO_BEV']
+    del cfg.MODEL['BACKBONE_2D']
+    cfg.MODEL.BACKBONE_3D.RETURN_ENCODED_TENSOR = False
+    cfg.MODEL.POINT_HEAD = Cfg({
+        'NAME': 'PointIntraPartOffsetHead', 'CLS_FC': [16], 'PART_FC': [16],
+        'REG_FC': [16], 'CLASS_AGNOSTIC': False,
+        'TARGET_CONFIG': {
+            'GT_EXTRA_WIDTH': [0.2, 0.2, 0.2],
+            'BOX_CODER': 'PointResidualCoder',
+            'BOX_CODER_CONFIG': {'use_mean_size': True,
+                                 'mean_size': [[3.9, 1.6, 1.56]]}},
+        'LOSS_CONFIG': {'LOSS_WEIGHTS': {
+            'point_cls_weight': 1.0, 'point_box_weight': 1.0,
+            'point_part_weight': 1.0, 'code_weights': [1.0] * 8}},
+    })
+    cfg.MODEL.ROI_HEAD.DISABLE_PART = True
+    cfg.MODEL.ROI_HEAD.SEG_MASK_SCORE_THRESH = 0.0
+    return cfg
+
+
+@pytest.mark.slow
+def test_parta2_free_trains_and_predicts(rng):
+    cfg = make_parta2_free_cfg()
+    det = build_detector(cfg)
+    batch = make_batch(rng)
+    variables = det.init(jax.random.PRNGKey(0), batch)
+    tx = optax.adam(1e-3)
+    params = variables['params']
+    state = {k: v for k, v in variables.items() if k != 'params'}
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, state, opt_state, key):
+        def lf(p):
+            return det.loss_fn({'params': p, **state}, batch, rng=key)
+        (loss, (metrics, new_state)), grads = jax.value_and_grad(
+            lf, has_aux=True)(params)
+        updates, opt_state2 = tx.update(grads, opt_state)
+        return (optax.apply_updates(params, updates), new_state, opt_state2,
+                loss, metrics)
+
+    losses = []
+    for i in range(4):
+        params, state, opt_state, loss, metrics = step(
+            params, state, opt_state, jax.random.PRNGKey(i))
+        losses.append(float(loss))
+    assert np.isfinite(losses).all(), losses
+    assert 'point_loss_part' in metrics and 'loss_loc' in metrics
+    assert 'rcnn_loss_cls' in metrics and 'rcnn_loss_reg' in metrics
+
+    preds = jax.jit(lambda v, b: det.predict(v, b))(
+        {'params': params, **state}, batch)
+    assert preds['final_boxes'].shape == (2, 16, 7)
+    assert np.isfinite(np.asarray(preds['final_boxes'])).all()
+
+
+def test_parta2_free_full_config_parses():
+    from pathlib import Path
+    from glenet_tpu.config import cfg_from_yaml_file
+    root = Path(__file__).resolve().parent.parent
+    cfg = cfg_from_yaml_file(str(root / 'configs/kitti_models/PartA2_free.yaml'))
+    assert cfg.MODEL.get('DENSE_HEAD') is None
+    assert cfg.MODEL.POINT_HEAD.REG_FC == [128, 128]
+    assert cfg.MODEL.ROI_HEAD.DISABLE_PART is True
