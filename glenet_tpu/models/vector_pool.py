@@ -62,6 +62,14 @@ def local_grid_offsets(rmax: float, num_voxel) -> jnp.ndarray:
     return jnp.stack([gx.reshape(-1), gy.reshape(-1), gz.reshape(-1)], -1)
 
 
+def _auto_chunk(requested: int, n_support: int) -> int:
+    """Cap the chunk so the (chunk x N) distance matrix stays ~64M f32
+    (256 MB) regardless of support size — Waymo scenes carry ~180k raw
+    points, where a 1024-row chunk alone would be ~740 MB."""
+    cap = max(64, (64 * 1024 * 1024) // max(n_support, 1))
+    return int(min(requested, cap))
+
+
 def _chunked_queries(fn, queries, chunk: int):
     """Run fn over (Q, ...) queries in lax.map chunks of `chunk` rows."""
     q = queries.shape[0]
@@ -82,6 +90,7 @@ def three_nn_within(query, support, support_mask, rmax: float,
     neighbor_type: 1 = ball (euclidean), else cube (max-|coord| diff)
     — three_nn_for_vector_pool_by_two_step semantics.
     Returns dist (Q, 3), idx (Q, 3), valid (Q, 3)."""
+    chunk = _auto_chunk(chunk, support.shape[0])
 
     def block(qb):
         d2 = (jnp.sum(qb ** 2, -1, keepdims=True)
@@ -145,6 +154,7 @@ def pool_into_grids(support_xyz, support_feats, support_mask, new_xyz,
 
     Bins support points into each query's local sub-voxel grid.
     Returns (M, G, C + 3): pooled features ++ pooled local offset."""
+    chunk = _auto_chunk(chunk, support_xyz.shape[0])
     g_total = int(num_voxel[0] * num_voxel[1] * num_voxel[2])
     n = support_xyz.shape[0]
     c = support_feats.shape[-1]
