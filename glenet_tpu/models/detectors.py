@@ -748,6 +748,7 @@ class Detector:
         self.max_points_per_voxel = int(vox_cfg.get('MAX_POINTS_PER_VOXEL', 1))
         mv = vox_cfg.get('MAX_NUMBER_OF_VOXELS', 1)
         self.max_voxels = int(mv['train'] if isinstance(mv, dict) else mv)
+        self.max_voxels_test = int(mv['test'] if isinstance(mv, dict) else mv)
 
         ph_cfg = model_cfg.get('POINT_HEAD', None)
         self.point_coder = None
@@ -793,17 +794,26 @@ class Detector:
         self.loss_weights = head_cfg.LOSS_CONFIG.LOSS_WEIGHTS
         self.code_weights = list(self.loss_weights.get('code_weights', [1.0] * 7))
 
-        self.net = DetectorNet(
-            model_cfg=model_cfg, data_cfg=data_cfg,
-            grid_size=self.grid_size, voxel_size=self.voxel_size,
-            pc_range=self.pc_range, max_voxels=self.max_voxels,
-            max_points_per_voxel=self.max_points_per_voxel,
-            num_class=num_class,
-            num_anchors_per_location=(
-                self.anchor_set.num_anchors_per_location
-                if self.anchor_set is not None else 0),
-            code_size=self.box_coder.code_size,
-            axis_name=axis_name)
+        def make_net(max_voxels):
+            return DetectorNet(
+                model_cfg=model_cfg, data_cfg=data_cfg,
+                grid_size=self.grid_size, voxel_size=self.voxel_size,
+                pc_range=self.pc_range, max_voxels=max_voxels,
+                max_points_per_voxel=self.max_points_per_voxel,
+                num_class=num_class,
+                num_anchors_per_location=(
+                    self.anchor_set.num_anchors_per_location
+                    if self.anchor_set is not None else 0),
+                code_size=self.box_coder.code_size,
+                axis_name=axis_name)
+
+        self.net = make_net(self.max_voxels)
+        # eval runs with the test voxel budget (reference per-mode
+        # VoxelGeneratorWrapper, e.g. KITTI 16000 train / 40000 test);
+        # max_voxels shapes activations only, so params are shared
+        self.net_eval = (self.net
+                         if self.max_voxels_test == self.max_voxels
+                         else make_net(self.max_voxels_test))
 
     # -- init ---------------------------------------------------------------
     def init(self, rng, batch):
@@ -1140,7 +1150,7 @@ class Detector:
         final_boxes (B, K, 7), final_scores (B, K), final_labels (B, K),
         final_valid (B, K)."""
         post = post_cfg if post_cfg is not None else self.model_cfg.POST_PROCESSING
-        full_out = self.net.apply(
+        full_out = self.net_eval.apply(
             variables, batch['points'], batch['points_mask'],
             camera=_camera_of(batch), train=False)
 

@@ -23,6 +23,26 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _select_voxels_first_occurrence(vid_sorted, sort_idx, n_cells: int,
+                                    max_voxels: int):
+    """Pick up to max_voxels occupied voxel ids, prioritized by the FIRST
+    original point index that touched each voxel (reference first-come
+    semantics).  Returns the chosen ids sorted ascending, sentinel-padded
+    to (max_voxels,)."""
+    n = vid_sorted.shape[0]
+    first_of_run = jnp.concatenate(
+        [jnp.array([True]), vid_sorted[1:] != vid_sorted[:-1]])
+    run_id = jnp.cumsum(first_of_run) - 1                      # (N,)
+    # first original-index per run; invalid runs land in segment N-1+
+    first_occ = jax.ops.segment_min(sort_idx, run_id, num_segments=n)
+    run_vid = jax.ops.segment_min(vid_sorted, run_id, num_segments=n)
+    valid_run = run_vid < n_cells
+    priority = jnp.where(valid_run, first_occ, n)
+    order = jnp.argsort(priority)[:max_voxels]
+    chosen = jnp.where(valid_run[order], run_vid[order], n_cells)
+    return jnp.sort(chosen)
+
+
 @partial(jax.jit, static_argnames=('max_voxels', 'max_points_per_voxel',
                                    'grid_size', 'voxel_size', 'pc_range'))
 def voxelize(points, points_mask, voxel_size, pc_range, grid_size,
@@ -60,8 +80,14 @@ def voxelize(points, points_mask, voxel_size, pc_range, grid_size,
     sort_idx = jnp.argsort(vid, stable=True)
     vid_sorted = vid[sort_idx]
 
-    # unique voxel ids (sorted); fill slots beyond count with sentinel
-    uniq = jnp.unique(vid_sorted, size=max_voxels, fill_value=n_cells)
+    # unique voxel ids with FIRST-OCCURRENCE overflow priority: when the
+    # scene has more than max_voxels occupied cells, the reference keeps
+    # voxels in point order (Point2VoxelCPU3d first-come; random under
+    # shuffle_points) — NOT by voxel id.  Selecting the lowest ids instead
+    # would systematically evict high-z voxels (e.g. every car voxel once
+    # the ground plane fills the budget).
+    uniq = _select_voxels_first_occurrence(vid_sorted, sort_idx, n_cells,
+                                           max_voxels)
     voxel_mask = uniq < n_cells
 
     # rank of each sorted point within its voxel run
@@ -71,9 +97,13 @@ def voxelize(points, points_mask, voxel_size, pc_range, grid_size,
         jnp.where(first_of_run, jnp.arange(vid_sorted.shape[0]), 0))
     rank = jnp.arange(vid_sorted.shape[0]) - run_start
 
-    # voxel slot per sorted point
+    # voxel slot per sorted point (selection is a subset of the ids, so
+    # membership must be checked, not just the insertion position)
     slot = jnp.searchsorted(uniq, vid_sorted)
-    valid_pt = (vid_sorted < n_cells) & (rank < max_points_per_voxel) & (slot < max_voxels)
+    slot_c = jnp.clip(slot, 0, max_voxels - 1)
+    member = uniq[slot_c] == vid_sorted
+    valid_pt = ((vid_sorted < n_cells) & member
+                & (rank < max_points_per_voxel) & (slot < max_voxels))
     slot_checked = jnp.where(valid_pt, slot, max_voxels)
     rank_c = jnp.where(valid_pt, rank, max_points_per_voxel)
 
@@ -129,7 +159,9 @@ def voxelize_dynamic(points, points_mask, voxel_size, pc_range, grid_size,
     n_cells = nx * ny * nz
     vid = coords[:, 2] * (ny * nx) + coords[:, 1] * nx + coords[:, 0]
     vid = jnp.where(in_range, vid, n_cells)
-    uniq = jnp.unique(jnp.sort(vid), size=max_voxels, fill_value=n_cells)
+    sort_idx = jnp.argsort(vid, stable=True)
+    uniq = _select_voxels_first_occurrence(vid[sort_idx], sort_idx,
+                                           n_cells, max_voxels)
     voxel_mask = uniq < n_cells
     slot = jnp.searchsorted(uniq, vid)
     hit = (slot < max_voxels) & in_range

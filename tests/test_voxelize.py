@@ -90,3 +90,67 @@ def test_segment_max():
     out = np.asarray(scatter.segment_max(data, ids, 2))
     assert out[0, 0] == 5.0
     assert out[1, 0] == 0.0  # empty segment filled
+
+
+def test_voxel_overflow_keeps_first_occurrence_order():
+    """When occupied voxels exceed max_voxels, selection follows FIRST point
+    order (reference Point2VoxelCPU3d first-come), NOT voxel-id order —
+    low-z filler (ground) must not evict later-listed high-z voxels."""
+    vs, pr, grid = (1.0, 1.0, 1.0), (0, 0, 0, 16, 16, 4), (16, 16, 4)
+    # 12 "car" points first (z=3 plane), then 64 "ground" points (z=0)
+    car = np.stack([np.arange(12, dtype=np.float32) + 0.5,
+                    np.full(12, 0.5, np.float32),
+                    np.full(12, 3.5, np.float32)], 1)
+    gx, gy = np.meshgrid(np.arange(8), np.arange(8))
+    ground = np.stack([gx.ravel() + 0.5, gy.ravel() + 0.5,
+                       np.full(64, 0.5)], 1).astype(np.float32)
+    pts = np.concatenate([car, ground])
+    mask = np.ones(len(pts), bool)
+    out = voxelize.voxelize(jnp.asarray(pts), jnp.asarray(mask), vs, pr, grid,
+                           max_voxels=32, max_points_per_voxel=4)
+    coords = np.asarray(out['voxel_coords'])
+    vm = np.asarray(out['voxel_mask'])
+    # all 12 car voxels (z-index 3) listed first in point order -> kept
+    assert (coords[vm][:, 0] == 3).sum() == 12
+    # the remaining 20 slots go to the earliest-listed ground voxels
+    assert (coords[vm][:, 0] == 0).sum() == 20
+    pvi = np.asarray(out['point_voxel_idx'])
+    assert (pvi[:12] >= 0).all()             # every car point mapped
+    # dropped ground points marked -1
+    assert (pvi[12:] == -1).sum() == 44
+    # dynamic variant: same selection
+    dyn = voxelize.voxelize_dynamic(jnp.asarray(pts), jnp.asarray(mask), vs,
+                                   pr, grid, max_voxels=32)
+    np.testing.assert_array_equal(np.asarray(dyn['voxel_coords']), coords)
+    assert (np.asarray(dyn['point_voxel_idx'])[:12] >= 0).all()
+
+
+def test_detector_predict_uses_test_voxel_budget():
+    """predict must run under the TEST MAX_NUMBER_OF_VOXELS budget and agree
+    with the train-budget net when the scene fits in both."""
+    import copy
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    import jax
+    from test_second import TINY_SECOND, make_batch
+    from glenet_tpu.models.detectors import build_detector
+    cfg = copy.deepcopy(TINY_SECOND)
+    cfg.DATA_CONFIG.DATA_PROCESSOR[0].MAX_NUMBER_OF_VOXELS = {
+        'train': 256, 'test': 512}
+    det = build_detector(cfg)
+    assert det.max_voxels == 256 and det.max_voxels_test == 512
+    assert det.net_eval is not det.net
+    rng = np.random.RandomState(0)
+    batch = make_batch(rng, n_points=200)      # << 256 occupied voxels
+    variables = det.init(jax.random.PRNGKey(0), batch)
+    p_eval = jax.jit(lambda v, b: det.predict(v, b))(variables, batch)
+    assert np.isfinite(np.asarray(p_eval['final_boxes'])).all()
+    # same params through the train-budget net give identical boxes when
+    # nothing overflows either budget
+    det2 = build_detector(cfg)
+    det2.net_eval = det2.net
+    p_train = jax.jit(lambda v, b: det2.predict(v, b))(variables, batch)
+    np.testing.assert_allclose(np.asarray(p_eval['final_boxes']),
+                               np.asarray(p_train['final_boxes']),
+                               atol=1e-4)

@@ -129,6 +129,7 @@ def main():
     from glenet_tpu.utils.calibration_kitti import Calibration
 
     n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 600
+    peak_lr = float(sys.argv[2]) if len(sys.argv) > 2 else 1e-3
     cfg = cfg_from_yaml_file(str(ROOT / 'configs/kitti_models/GLENet_VR.yaml'))
     cfg.MODEL.POST_PROCESSING.POST_SCORE_THRESH = 0.1
     cfg.MODEL.POST_PROCESSING.SCORE_THRESH = 0.05
@@ -153,7 +154,7 @@ def main():
                for i in range(0, N_SCENES, BATCH)]
 
     variables = det.init(jax.random.PRNGKey(0), batches[0])
-    sched = optax.cosine_onecycle_schedule(n_steps, peak_value=3e-3,
+    sched = optax.cosine_onecycle_schedule(n_steps, peak_value=peak_lr,
                                            pct_start=0.3)
     tx = optax.chain(optax.clip_by_global_norm(10.0),
                      optax.adamw(sched, weight_decay=0.01))
@@ -187,6 +188,10 @@ def main():
         fb = np.asarray(preds['final_boxes'])
         fs = np.asarray(preds['final_scores'])
         fv = np.asarray(preds['final_valid'])
+        if bi == 0:
+            print(f'diag batch0: kept={fv.sum(1)}, '
+                  f'score_max={fs.max(1).round(3)}, '
+                  f'box0={fb[0, 0].round(2) if fv[0].any() else None}')
         for k in range(fb.shape[0]):
             scene_idx = bi * BATCH + k
             gt, gm = scenes[scene_idx][1], scenes[scene_idx][2]
