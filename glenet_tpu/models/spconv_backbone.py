@@ -189,8 +189,7 @@ class VoxelBackBone8x(nn.Module):
         return (nx, ny, nz + 1)
 
     def level_caps(self):
-        v = self.max_voxels
-        return (v, v, v // 2, v // 4)
+        return sparse.level_caps(self.max_voxels)
 
     @nn.compact
     def __call__(self, feats, coords, mask, train: bool = True):
@@ -352,8 +351,7 @@ class UNetV2(nn.Module):
             coords[..., 0] * (ny * nx) + coords[..., 1] * nx + coords[..., 2],
             nx * ny * nz).astype(jnp.int32)
         c1, c2, c3, c4 = self.channels
-        v = self.max_voxels
-        caps = (v, v, v // 2, v // 4)
+        caps = sparse.level_caps(self.max_voxels)
 
         def make_nbr(ids, m, grid):
             return jax.vmap(

@@ -214,10 +214,33 @@ def strided_output_sites(ids, mask, grid, kernel_size, stride, padding,
              & (oz >= 0) & (oz < onz) & (oy >= 0) & (oy < ony)
              & (ox >= 0) & (ox < onx))
     cand = jnp.where(valid, oz * (ony * onx) + oy * onx + ox, n_out_cells)
-    out_ids = jnp.unique(cand.reshape(-1), size=out_cap,
-                         fill_value=n_out_cells)
+    cand_flat = cand.reshape(-1)
+    uniq = jnp.unique(cand_flat, size=cand_flat.shape[0],
+                      fill_value=n_out_cells)
+    valid_u = uniq < n_out_cells
+    # When actives exceed out_cap, drop sites SPATIALLY UNIFORMLY
+    # (multiplicative-hash priority) rather than keeping the lowest
+    # (z, y, x) ids — lowest-id truncation silently crops the scene to a
+    # low-z/low-y slab, which destroys detection everywhere else.
+    pri = jnp.where(valid_u,
+                    uniq.astype(jnp.uint32) * jnp.uint32(2654435761),
+                    jnp.uint32(0xFFFFFFFF))
+    order = jnp.argsort(pri)[:out_cap]
+    chosen = jnp.where(valid_u[order], uniq[order], n_out_cells)
+    out_ids = jnp.sort(chosen)
     out_mask = out_ids < n_out_cells
     return out_ids, out_mask
+
+
+def level_caps(max_voxels: int):
+    """Static active-site budgets for backbone levels 1..4 (strides
+    1/2/4/8).  A stride-2 sparse conv DILATES the active set (spconv rule:
+    kernel-size neighborhood before the stride divide): measured on
+    KITTI-scale clouds the site counts are ~3.2x/3.9x/2.9x the input voxel
+    count at levels 2/3/4 — far above the input count.  Budgets must cover
+    that growth or the level-cap overflow silently drops geometry."""
+    v = max_voxels
+    return (v, int(3.5 * v), 4 * v, 3 * v)
 
 
 def strided_gather_table(in_ids, in_mask, out_ids, out_mask, grid,

@@ -200,3 +200,45 @@ def test_res_backbone_shapes(rng):
                    train=False)
     assert out['multi_scale']['x_conv4']['features'].shape[-1] == 128
     assert np.isfinite(np.asarray(out['bev_features'])).all()
+
+
+def test_out_cap_overflow_is_spatially_uniform():
+    """Under overflow, dropped sites must be spread uniformly across the
+    scene (hash priority), NOT truncated to the lowest (z, y) slab — that
+    crops the field of view for every downstream consumer."""
+    nx, ny, nz = 64, 64, 4
+    grid = (nx, ny, nz)
+    rngs = np.random.RandomState(0)
+    # one occupied voxel per (y, x) column on a plane -> 4096 sites
+    ys, xs = np.meshgrid(np.arange(ny), np.arange(nx), indexing='ij')
+    cells = (1 * (ny * nx) + ys.ravel() * nx + xs.ravel()).astype(np.int64)
+    cells = np.sort(rngs.permutation(cells))
+    ids = jnp.asarray(cells)
+    mask = jnp.ones_like(ids, dtype=bool)
+    cap = 512
+    out_ids, out_mask = sparse.strided_output_sites(
+        ids, mask, grid, 3, 2, 1, out_cap=cap)
+    onx, ony, _ = sparse.out_grid_size(grid, 3, 2, 1)
+    kept = np.asarray(out_ids[out_mask])
+    oy = (kept % (ony * onx)) // onx
+    # kept sites must span (almost) the full y range, both halves populated
+    assert oy.min() < ony // 8 and oy.max() > ony - ony // 8
+    lo, hi = (oy < ony // 2).sum(), (oy >= ony // 2).sum()
+    assert min(lo, hi) / max(lo, hi) > 0.6, (lo, hi)
+
+
+def test_level_caps_cover_strided_dilation():
+    """level_caps must cover the spconv dilation of a realistic cloud: a
+    stride-2 conv of V scattered sites activates ~3-4x V output sites."""
+    nx, ny, nz = 256, 256, 16
+    grid = (nx, ny, nz)
+    rngs = np.random.RandomState(1)
+    v = 4096
+    cells = np.sort(rngs.choice(nx * ny * nz, v, replace=False).astype(np.int64))
+    ids, mask = jnp.asarray(cells), jnp.ones(v, bool)
+    caps = sparse.level_caps(v)
+    out_ids, out_mask = sparse.strided_output_sites(
+        ids, mask, grid, 3, 2, 1, out_cap=8 * v)
+    n_active = int(out_mask.sum())
+    assert n_active > v, 'dilation must grow the active set'
+    assert caps[1] >= n_active, (caps[1], n_active)

@@ -7,8 +7,8 @@ KL losses -> proposal NMS -> roi sampling -> corner-aggregation pooling ->
 rcnn refinement -> variance-voting NMS -> camera-frame annos -> matched AP.
 A subtly-wrong component anywhere caps the achievable AP.
 
-Usage: python tools/convergence_ap.py [n_steps]
-Writes CONVERGENCE_AP.json at the repo root.
+Usage: python tools/convergence_ap.py [n_steps] [peak_lr] [model_yaml]
+Merges a per-model entry into CONVERGENCE_AP.json at the repo root.
 """
 import json
 import sys
@@ -130,9 +130,15 @@ def main():
 
     n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 600
     peak_lr = float(sys.argv[2]) if len(sys.argv) > 2 else 1e-3
-    cfg = cfg_from_yaml_file(str(ROOT / 'configs/kitti_models/GLENet_VR.yaml'))
-    cfg.MODEL.POST_PROCESSING.POST_SCORE_THRESH = 0.1
-    cfg.MODEL.POST_PROCESSING.SCORE_THRESH = 0.05
+    model_yaml = (sys.argv[3] if len(sys.argv) > 3
+                  else 'configs/kitti_models/GLENet_VR.yaml')
+    cfg = cfg_from_yaml_file(str(ROOT / model_yaml))
+    # AP is rank-based; the production score gates (0.3/0.81) assume the
+    # 80-epoch confidence scale.  The variance-gated rcnn confidence grows
+    # slowly from conf~0.5*sigmoid(cls) (reference 1e-4-init MLP), so at
+    # overfit scale absolute scores stay small — keep ranking, drop gates.
+    cfg.MODEL.POST_PROCESSING.POST_SCORE_THRESH = 0.0
+    cfg.MODEL.POST_PROCESSING.SCORE_THRESH = 0.0
     det = build_detector(cfg)
 
     scenes = [make_scene(s) for s in range(N_SCENES)]
@@ -168,16 +174,18 @@ def main():
             return det.loss_fn({'params': p, **mstate}, batch, rng=key)
         (loss, (m, ns)), grads = jax.value_and_grad(lf, has_aux=True)(params)
         u, o2 = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, u), ns, o2, loss
+        return optax.apply_updates(params, u), ns, o2, loss, m
 
     t0 = time.time()
     for i in range(n_steps):
         b = batches[i % len(batches)]
-        params, mstate, opt_state, loss = step(
+        params, mstate, opt_state, loss, metrics = step(
             params, mstate, opt_state, b, jax.random.PRNGKey(i))
-        if i % 100 == 0 or i == n_steps - 1:
+        if i % 50 == 0 or i == n_steps - 1:
+            terms = ' '.join(f'{k}={float(v):.3f}'
+                             for k, v in sorted(metrics.items()))
             print(f'step {i}: loss={float(loss):.3f} '
-                  f'({time.time() - t0:.0f}s)')
+                  f'({time.time() - t0:.0f}s) | {terms}')
 
     # ---- evaluate on the training scenes (overfit target: AP -> 100) ------
     predict = jax.jit(lambda v, b: det.predict(v, b))
@@ -201,8 +209,19 @@ def main():
     result_str, ret = kitti_eval.get_official_eval_result(
         gt_annos, dt_annos, ['Car'])
     print(result_str)
+    model_key = Path(model_yaml).stem
+
+    import pickle
+    from flax import serialization
+    dump = Path(f'/tmp/conv_{model_key}')
+    dump.mkdir(exist_ok=True)
+    (dump / 'variables.msgpack').write_bytes(
+        serialization.to_bytes({'params': params, **mstate}))
+    with open(dump / 'annos.pkl', 'wb') as f:
+        pickle.dump({'gt': gt_annos, 'dt': dt_annos,
+                     'scenes_gt': [(s[1], s[2]) for s in scenes]}, f)
     out = {
-        'model': 'GLENet_VR (full config, synthetic overfit)',
+        'model': f'{model_key} (full config, synthetic overfit)',
         'n_scenes': N_SCENES, 'n_steps': n_steps,
         'final_loss': float(loss),
         'Car_3d_moderate_R40': ret.get('Car_3d/moderate_R40'),
@@ -210,7 +229,15 @@ def main():
         'Car_bev_moderate_R40': ret.get('Car_bev/moderate_R40'),
         'wall_clock_s': round(time.time() - t0, 1),
     }
-    (ROOT / 'CONVERGENCE_AP.json').write_text(json.dumps(out, indent=1))
+    path = ROOT / 'CONVERGENCE_AP.json'
+    try:
+        merged = json.loads(path.read_text())
+        if 'model' in merged:           # legacy single-entry format
+            merged = {merged['model'].split(' ')[0]: merged}
+    except (FileNotFoundError, ValueError):
+        merged = {}
+    merged[model_key] = out
+    path.write_text(json.dumps(merged, indent=1))
     print(json.dumps(out))
 
 
