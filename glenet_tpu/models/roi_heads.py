@@ -245,7 +245,11 @@ def gather_corners_sparse(query_xyz, feats, ids, mask, grid, stride,
              & (cz >= 0) & (cz < nz))
     tid = jnp.where(valid, cz * (ny * nx) + cy * nx + cx, n_cells)
     v = ids.shape[0]
-    pos = jnp.clip(jnp.searchsorted(ids, tid.reshape(-1)), 0, v - 1)
+    # merged-sort lookup: jnp.searchsorted is a while-loop of row gathers
+    # (HBM latency-bound) — with level caps sized for real dilation the
+    # corner lookup dominates the roi stack unless it sorts instead
+    pos = jnp.clip(sparse.merged_searchsorted(
+        ids, tid.reshape(1, -1))[0], 0, v - 1)
     found = (ids[pos] == tid.reshape(-1)) & (tid.reshape(-1) < n_cells)
     pos = jnp.where(found, pos, v)
     padded = jnp.concatenate(
