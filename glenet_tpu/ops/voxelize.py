@@ -40,6 +40,10 @@ def _select_voxels_first_occurrence(vid_sorted, sort_idx, n_cells: int,
     priority = jnp.where(valid_run, first_occ, n)
     order = jnp.argsort(priority)[:max_voxels]
     chosen = jnp.where(valid_run[order], run_vid[order], n_cells)
+    if chosen.shape[0] < max_voxels:        # fewer points than voxel slots
+        chosen = jnp.concatenate([
+            chosen, jnp.full((max_voxels - chosen.shape[0],), n_cells,
+                             chosen.dtype)])
     return jnp.sort(chosen)
 
 

@@ -154,3 +154,20 @@ def test_detector_predict_uses_test_voxel_budget():
     np.testing.assert_allclose(np.asarray(p_eval['final_boxes']),
                                np.asarray(p_train['final_boxes']),
                                atol=1e-4)
+
+
+def test_voxelize_more_slots_than_points():
+    """max_voxels > n_points must still produce (max_voxels,) aligned
+    outputs (coords/mask padded with sentinels, voxels array matching)."""
+    pts = np.random.RandomState(0).uniform(0, 10, (50, 3)).astype(np.float32)
+    out = voxelize.voxelize(jnp.asarray(pts), jnp.ones(50, bool),
+                            (1.0, 1.0, 1.0), (0, 0, 0, 16, 16, 16),
+                            (16, 16, 16), max_voxels=128,
+                            max_points_per_voxel=4)
+    assert out['voxel_coords'].shape == (128, 3)
+    assert out['voxels'].shape == (128, 4, 3)
+    assert out['voxel_mask'].sum() <= 50
+    dyn = voxelize.voxelize_dynamic(jnp.asarray(pts), jnp.ones(50, bool),
+                                    (1.0, 1.0, 1.0), (0, 0, 0, 16, 16, 16),
+                                    (16, 16, 16), max_voxels=128)
+    assert dyn['voxel_coords'].shape == (128, 3)
