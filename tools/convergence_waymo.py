@@ -1,0 +1,182 @@
+"""Waymo-scale accuracy-convergence evidence: overfit CenterPoint (full
+Waymo-range config) on synthetic vehicle scenes on the real TPU chip, then
+score with the Waymo mAP/mAPH evaluator (glenet_tpu/eval/waymo_eval.py).
+
+Covers the axes the KITTI harness (tools/convergence_ap.py) does not: the
+150 m grid with Waymo-sized level budgets, CenterHead gaussian-heatmap
+targets + sigmoid-topk decode, and the Waymo matching protocol.
+
+Usage: python tools/convergence_waymo.py [n_steps] [peak_lr] [model_yaml]
+Merges an entry into CONVERGENCE_AP.json (key = '<model>_waymo').
+"""
+import json
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+import numpy as np
+
+from convergence_ap import car_surface_points
+
+N_SCENES = 16
+BATCH = 2
+MAX_POINTS = 24000
+N_GT = 8
+
+
+def make_scene(seed):
+    """Waymo-frame scene: ground at z~0, vehicles within +-60 m."""
+    rng = np.random.RandomState(seed)
+    n_veh = rng.randint(3, N_GT)
+    gt = np.zeros((N_GT, 8), np.float32)
+    gt_mask = np.zeros(N_GT, bool)
+    placed = []
+    for g in range(n_veh):
+        for _ in range(20):
+            cx, cy = rng.uniform(-55, 55), rng.uniform(-55, 55)
+            if cx * cx + cy * cy < 64:            # keep off the ego
+                continue
+            if all((cx - px) ** 2 + (cy - py) ** 2 > 49 for px, py in placed):
+                placed.append((cx, cy))
+                break
+        dims = [rng.uniform(4.0, 5.2), rng.uniform(1.8, 2.2),
+                rng.uniform(1.5, 1.9)]
+        gt[g] = [placed[-1][0], placed[-1][1], dims[2] / 2,
+                 *dims, rng.uniform(-np.pi, np.pi), 1]
+        gt_mask[g] = True
+
+    pts = [car_surface_points(rng, gt[g, :7], n=400) for g in range(n_veh)]
+    n_ground = MAX_POINTS - sum(len(p) for p in pts)
+    r = np.sqrt(rng.uniform(4, 70 ** 2, n_ground))
+    th = rng.uniform(-np.pi, np.pi, n_ground)
+    ground = np.stack([r * np.cos(th), r * np.sin(th),
+                       rng.normal(0.0, 0.05, n_ground)], 1)
+    xyz = np.concatenate(pts + [ground])[:MAX_POINTS]
+    # waymo points: x y z intensity elongation
+    extra = np.random.RandomState(seed + 1).uniform(0, 1, (len(xyz), 2))
+    return np.concatenate([xyz, extra], 1).astype(np.float32), gt, gt_mask
+
+
+def to_waymo_annos(boxes, scores=None, n_points=None):
+    n = len(boxes)
+    anno = {'name': np.array(['Vehicle'] * n),
+            'boxes_lidar': np.asarray(boxes, np.float64)}
+    if scores is not None:
+        anno['score'] = np.asarray(scores)
+    if n_points is not None:
+        anno['num_points_in_gt'] = np.asarray(n_points)
+    return anno
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from glenet_tpu.config import cfg_from_yaml_file
+    from glenet_tpu.eval import waymo_eval
+    from glenet_tpu.models.detectors import build_detector
+
+    n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 700
+    peak_lr = float(sys.argv[2]) if len(sys.argv) > 2 else 1e-3
+    model_yaml = (sys.argv[3] if len(sys.argv) > 3
+                  else 'configs/waymo_models/centerpoint.yaml')
+    cfg = cfg_from_yaml_file(str(ROOT / model_yaml))
+    cfg.MODEL.POST_PROCESSING.SCORE_THRESH = 0.0
+    if 'POST_SCORE_THRESH' in cfg.MODEL.POST_PROCESSING:
+        cfg.MODEL.POST_PROCESSING.POST_SCORE_THRESH = 0.0
+    det = build_detector(cfg)
+
+    scenes = [make_scene(s) for s in range(N_SCENES)]
+
+    def batch_of(idxs):
+        pts = np.stack([scenes[i][0] for i in idxs])
+        gt = np.stack([scenes[i][1] for i in idxs])
+        gm = np.stack([scenes[i][2] for i in idxs])
+        return {
+            'points': jnp.asarray(pts),
+            'points_mask': jnp.ones((len(idxs), MAX_POINTS), bool),
+            'gt_boxes': jnp.asarray(gt),
+            'gt_mask': jnp.asarray(gm),
+            'gt_uncertainty': jnp.full((len(idxs), N_GT, 7), 0.05,
+                                       jnp.float32),
+        }
+
+    batches = [batch_of(list(range(i, i + BATCH)))
+               for i in range(0, N_SCENES, BATCH)]
+
+    variables = det.init(jax.random.PRNGKey(0), batches[0])
+    sched = optax.cosine_onecycle_schedule(n_steps, peak_value=peak_lr,
+                                           pct_start=0.3)
+    tx = optax.chain(optax.clip_by_global_norm(10.0),
+                     optax.adamw(sched, weight_decay=0.01))
+    params = variables['params']
+    mstate = {k: v for k, v in variables.items() if k != 'params'}
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, mstate, opt_state, batch, key):
+        def lf(p):
+            return det.loss_fn({'params': p, **mstate}, batch, rng=key)
+        (loss, (m, ns)), grads = jax.value_and_grad(lf, has_aux=True)(params)
+        u, o2 = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, u), ns, o2, loss, m
+
+    t0 = time.time()
+    for i in range(n_steps):
+        b = batches[i % len(batches)]
+        params, mstate, opt_state, loss, metrics = step(
+            params, mstate, opt_state, b, jax.random.PRNGKey(i))
+        if i % 50 == 0 or i == n_steps - 1:
+            terms = ' '.join(f'{k}={float(v):.3f}'
+                             for k, v in sorted(metrics.items()))
+            print(f'step {i}: loss={float(loss):.3f} '
+                  f'({time.time() - t0:.0f}s) | {terms}', flush=True)
+
+    predict = jax.jit(lambda v, b: det.predict(v, b))
+    gt_annos, dt_annos = [], []
+    for bi, b in enumerate(batches):
+        preds = predict({'params': params, **mstate}, b)
+        fb = np.asarray(preds['final_boxes'])
+        fs = np.asarray(preds['final_scores'])
+        fl = np.asarray(preds['final_labels'])
+        fv = np.asarray(preds['final_valid'])
+        if bi == 0:
+            print(f'diag batch0: kept={fv.sum(1)}, '
+                  f'score_max={fs.max(1).round(3)}')
+        for k in range(fb.shape[0]):
+            scene_idx = bi * BATCH + k
+            gt, gm = scenes[scene_idx][1], scenes[scene_idx][2]
+            keep = fv[k] & (fl[k] == 1)                # Vehicle dts
+            gt_annos.append(to_waymo_annos(
+                gt[gm][:, :7], n_points=np.full(gm.sum(), 400)))
+            dt_annos.append(to_waymo_annos(fb[k][keep], fs[k][keep]))
+
+    result_str, ret = waymo_eval.waymo_evaluation(
+        dt_annos, gt_annos, ['Vehicle'])
+    print(result_str)
+    model_key = Path(model_yaml).stem + '_waymo'
+    out = {
+        'model': f'{model_key} (full Waymo-range config, synthetic overfit)',
+        'n_scenes': N_SCENES, 'n_steps': n_steps,
+        'final_loss': float(loss),
+        'Vehicle_L1_AP': ret.get('OBJECT_TYPE_TYPE_VEHICLE_LEVEL_1/AP'),
+        'Vehicle_L1_APH': ret.get('OBJECT_TYPE_TYPE_VEHICLE_LEVEL_1/APH'),
+        'Vehicle_L2_AP': ret.get('OBJECT_TYPE_TYPE_VEHICLE_LEVEL_2/AP'),
+        'wall_clock_s': round(time.time() - t0, 1),
+    }
+    path = ROOT / 'CONVERGENCE_AP.json'
+    try:
+        merged = json.loads(path.read_text())
+    except (FileNotFoundError, ValueError):
+        merged = {}
+    merged[model_key] = out
+    path.write_text(json.dumps(merged, indent=1))
+    print(json.dumps(out))
+
+
+if __name__ == '__main__':
+    main()
