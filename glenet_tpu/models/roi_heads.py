@@ -227,7 +227,7 @@ _CORNER_OFFS = np.stack(np.meshgrid([0, 1], [0, 1], [0, 1],
 
 def gather_corners_sparse(query_xyz, feats, ids, mask, grid, stride,
                           voxel_size, pc_range):
-    """Corners from a sparse level: sorted-id binary search.
+    """Corners from a sparse level: merged-sort lookup on the sorted ids.
 
     query_xyz (Q, 3) -> (feats (Q, 8, C), rel (Q, 8, 3), valid (Q, 8))."""
     nx, ny, nz = grid

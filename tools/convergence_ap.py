@@ -79,8 +79,8 @@ def make_scene(seed):
         for _ in range(20):
             cx, cy = rng.uniform(8, 55), rng.uniform(-18, 18)
             if all((cx - px) ** 2 + (cy - py) ** 2 > 36 for px, py in placed):
-                placed.append((cx, cy))
                 break
+        placed.append((cx, cy))     # last candidate even if crowded
         dims = [rng.uniform(3.6, 4.3), rng.uniform(1.5, 1.8),
                 rng.uniform(1.4, 1.7)]
         gt[g] = [placed[-1][0], placed[-1][1], -1.0 + dims[2] / 2 - 0.8,
@@ -118,10 +118,82 @@ def to_annos(boxes_lidar, scores, calib, image_shape=(375, 1242)):
     return anno
 
 
+def make_batches(scenes, batch_size, max_points, n_gt):
+    """Static-padded device batches from (points, gt, gt_mask) scenes."""
+    import jax.numpy as jnp
+
+    def batch_of(idxs):
+        pts = np.stack([scenes[i][0] for i in idxs])
+        gt = np.stack([scenes[i][1] for i in idxs])
+        gm = np.stack([scenes[i][2] for i in idxs])
+        return {
+            'points': jnp.asarray(pts),
+            'points_mask': jnp.ones((len(idxs), max_points), bool),
+            'gt_boxes': jnp.asarray(gt),
+            'gt_mask': jnp.asarray(gm),
+            'gt_uncertainty': jnp.full((len(idxs), n_gt, 7), 0.05,
+                                       jnp.float32),
+        }
+
+    return [batch_of(list(range(i, i + batch_size)))
+            for i in range(0, len(scenes), batch_size)]
+
+
+def run_overfit(det, batches, n_steps, peak_lr):
+    """OneCycle overfit loop shared by the KITTI and Waymo harnesses.
+    Returns (params, mstate, final_loss, wall_clock_t0)."""
+    import jax
+    import optax
+
+    variables = det.init(jax.random.PRNGKey(0), batches[0])
+    # optax onecycle yields NaN for transition_steps <= 2 (zero-length
+    # phase intervals) — clamp so tiny smoke runs stay finite
+    sched = optax.cosine_onecycle_schedule(max(n_steps, 4),
+                                           peak_value=peak_lr, pct_start=0.3)
+    tx = optax.chain(optax.clip_by_global_norm(10.0),
+                     optax.adamw(sched, weight_decay=0.01))
+    params = variables['params']
+    mstate = {k: v for k, v in variables.items() if k != 'params'}
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, mstate, opt_state, batch, key):
+        def lf(p):
+            return det.loss_fn({'params': p, **mstate}, batch, rng=key)
+        (loss, (m, ns)), grads = jax.value_and_grad(lf, has_aux=True)(params)
+        u, o2 = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, u), ns, o2, loss, m
+
+    t0 = time.time()
+    final_loss = float('nan')
+    for i in range(n_steps):
+        b = batches[i % len(batches)]
+        params, mstate, opt_state, loss, metrics = step(
+            params, mstate, opt_state, b, jax.random.PRNGKey(i))
+        if i % 50 == 0 or i == n_steps - 1:
+            final_loss = float(loss)
+            terms = ' '.join(f'{k}={float(v):.3f}'
+                             for k, v in sorted(metrics.items()))
+            print(f'step {i}: loss={final_loss:.3f} '
+                  f'({time.time() - t0:.0f}s) | {terms}', flush=True)
+    return params, mstate, final_loss, t0
+
+
+def merge_entry(model_key, out):
+    """Merge one model's result into CONVERGENCE_AP.json."""
+    path = ROOT / 'CONVERGENCE_AP.json'
+    try:
+        merged = json.loads(path.read_text())
+        if 'model' in merged:           # legacy single-entry format
+            merged = {merged['model'].split(' ')[0]: merged}
+    except (FileNotFoundError, ValueError):
+        merged = {}
+    merged[model_key] = out
+    path.write_text(json.dumps(merged, indent=1))
+
+
 def main():
     import jax
-    import jax.numpy as jnp
-    import optax
 
     from glenet_tpu.config import cfg_from_yaml_file
     from glenet_tpu.eval import kitti_eval
@@ -142,50 +214,9 @@ def main():
     det = build_detector(cfg)
 
     scenes = [make_scene(s) for s in range(N_SCENES)]
-
-    def batch_of(idxs):
-        pts = np.stack([scenes[i][0] for i in idxs])
-        gt = np.stack([scenes[i][1] for i in idxs])
-        gm = np.stack([scenes[i][2] for i in idxs])
-        return {
-            'points': jnp.asarray(pts),
-            'points_mask': jnp.ones((len(idxs), MAX_POINTS), bool),
-            'gt_boxes': jnp.asarray(gt),
-            'gt_mask': jnp.asarray(gm),
-            'gt_uncertainty': jnp.full((len(idxs), N_GT, 7), 0.05,
-                                       jnp.float32),
-        }
-
-    batches = [batch_of(list(range(i, i + BATCH)))
-               for i in range(0, N_SCENES, BATCH)]
-
-    variables = det.init(jax.random.PRNGKey(0), batches[0])
-    sched = optax.cosine_onecycle_schedule(n_steps, peak_value=peak_lr,
-                                           pct_start=0.3)
-    tx = optax.chain(optax.clip_by_global_norm(10.0),
-                     optax.adamw(sched, weight_decay=0.01))
-    params = variables['params']
-    mstate = {k: v for k, v in variables.items() if k != 'params'}
-    opt_state = tx.init(params)
-
-    @jax.jit
-    def step(params, mstate, opt_state, batch, key):
-        def lf(p):
-            return det.loss_fn({'params': p, **mstate}, batch, rng=key)
-        (loss, (m, ns)), grads = jax.value_and_grad(lf, has_aux=True)(params)
-        u, o2 = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, u), ns, o2, loss, m
-
-    t0 = time.time()
-    for i in range(n_steps):
-        b = batches[i % len(batches)]
-        params, mstate, opt_state, loss, metrics = step(
-            params, mstate, opt_state, b, jax.random.PRNGKey(i))
-        if i % 50 == 0 or i == n_steps - 1:
-            terms = ' '.join(f'{k}={float(v):.3f}'
-                             for k, v in sorted(metrics.items()))
-            print(f'step {i}: loss={float(loss):.3f} '
-                  f'({time.time() - t0:.0f}s) | {terms}')
+    batches = make_batches(scenes, BATCH, MAX_POINTS, N_GT)
+    params, mstate, final_loss, t0 = run_overfit(det, batches, n_steps,
+                                                 peak_lr)
 
     # ---- evaluate on the training scenes (overfit target: AP -> 100) ------
     predict = jax.jit(lambda v, b: det.predict(v, b))
@@ -223,21 +254,13 @@ def main():
     out = {
         'model': f'{model_key} (full config, synthetic overfit)',
         'n_scenes': N_SCENES, 'n_steps': n_steps,
-        'final_loss': float(loss),
+        'final_loss': final_loss,
         'Car_3d_moderate_R40': ret.get('Car_3d/moderate_R40'),
         'Car_3d_moderate_R11': ret.get('Car_3d/moderate_R11'),
         'Car_bev_moderate_R40': ret.get('Car_bev/moderate_R40'),
         'wall_clock_s': round(time.time() - t0, 1),
     }
-    path = ROOT / 'CONVERGENCE_AP.json'
-    try:
-        merged = json.loads(path.read_text())
-        if 'model' in merged:           # legacy single-entry format
-            merged = {merged['model'].split(' ')[0]: merged}
-    except (FileNotFoundError, ValueError):
-        merged = {}
-    merged[model_key] = out
-    path.write_text(json.dumps(merged, indent=1))
+    merge_entry(model_key, out)
     print(json.dumps(out))
 
 

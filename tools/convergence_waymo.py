@@ -19,7 +19,8 @@ sys.path.insert(0, str(ROOT))
 
 import numpy as np
 
-from convergence_ap import car_surface_points
+from convergence_ap import (car_surface_points, make_batches, merge_entry,
+                            run_overfit)
 
 N_SCENES = 16
 BATCH = 2
@@ -35,13 +36,16 @@ def make_scene(seed):
     gt_mask = np.zeros(N_GT, bool)
     placed = []
     for g in range(n_veh):
+        cx, cy = 30.0 + 8.0 * g, 30.0             # fallback row off the ego
         for _ in range(20):
-            cx, cy = rng.uniform(-55, 55), rng.uniform(-55, 55)
-            if cx * cx + cy * cy < 64:            # keep off the ego
+            tx_, ty_ = rng.uniform(-55, 55), rng.uniform(-55, 55)
+            if tx_ * tx_ + ty_ * ty_ < 64:        # keep off the ego
                 continue
-            if all((cx - px) ** 2 + (cy - py) ** 2 > 49 for px, py in placed):
-                placed.append((cx, cy))
+            if all((tx_ - px) ** 2 + (ty_ - py) ** 2 > 49
+                   for px, py in placed):
+                cx, cy = tx_, ty_
                 break
+        placed.append((cx, cy))
         dims = [rng.uniform(4.0, 5.2), rng.uniform(1.8, 2.2),
                 rng.uniform(1.5, 1.9)]
         gt[g] = [placed[-1][0], placed[-1][1], dims[2] / 2,
@@ -73,8 +77,6 @@ def to_waymo_annos(boxes, scores=None, n_points=None):
 
 def main():
     import jax
-    import jax.numpy as jnp
-    import optax
 
     from glenet_tpu.config import cfg_from_yaml_file
     from glenet_tpu.eval import waymo_eval
@@ -91,50 +93,9 @@ def main():
     det = build_detector(cfg)
 
     scenes = [make_scene(s) for s in range(N_SCENES)]
-
-    def batch_of(idxs):
-        pts = np.stack([scenes[i][0] for i in idxs])
-        gt = np.stack([scenes[i][1] for i in idxs])
-        gm = np.stack([scenes[i][2] for i in idxs])
-        return {
-            'points': jnp.asarray(pts),
-            'points_mask': jnp.ones((len(idxs), MAX_POINTS), bool),
-            'gt_boxes': jnp.asarray(gt),
-            'gt_mask': jnp.asarray(gm),
-            'gt_uncertainty': jnp.full((len(idxs), N_GT, 7), 0.05,
-                                       jnp.float32),
-        }
-
-    batches = [batch_of(list(range(i, i + BATCH)))
-               for i in range(0, N_SCENES, BATCH)]
-
-    variables = det.init(jax.random.PRNGKey(0), batches[0])
-    sched = optax.cosine_onecycle_schedule(n_steps, peak_value=peak_lr,
-                                           pct_start=0.3)
-    tx = optax.chain(optax.clip_by_global_norm(10.0),
-                     optax.adamw(sched, weight_decay=0.01))
-    params = variables['params']
-    mstate = {k: v for k, v in variables.items() if k != 'params'}
-    opt_state = tx.init(params)
-
-    @jax.jit
-    def step(params, mstate, opt_state, batch, key):
-        def lf(p):
-            return det.loss_fn({'params': p, **mstate}, batch, rng=key)
-        (loss, (m, ns)), grads = jax.value_and_grad(lf, has_aux=True)(params)
-        u, o2 = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, u), ns, o2, loss, m
-
-    t0 = time.time()
-    for i in range(n_steps):
-        b = batches[i % len(batches)]
-        params, mstate, opt_state, loss, metrics = step(
-            params, mstate, opt_state, b, jax.random.PRNGKey(i))
-        if i % 50 == 0 or i == n_steps - 1:
-            terms = ' '.join(f'{k}={float(v):.3f}'
-                             for k, v in sorted(metrics.items()))
-            print(f'step {i}: loss={float(loss):.3f} '
-                  f'({time.time() - t0:.0f}s) | {terms}', flush=True)
+    batches = make_batches(scenes, BATCH, MAX_POINTS, N_GT)
+    params, mstate, final_loss, t0 = run_overfit(det, batches, n_steps,
+                                                 peak_lr)
 
     predict = jax.jit(lambda v, b: det.predict(v, b))
     gt_annos, dt_annos = [], []
@@ -162,19 +123,13 @@ def main():
     out = {
         'model': f'{model_key} (full Waymo-range config, synthetic overfit)',
         'n_scenes': N_SCENES, 'n_steps': n_steps,
-        'final_loss': float(loss),
+        'final_loss': final_loss,
         'Vehicle_L1_AP': ret.get('OBJECT_TYPE_TYPE_VEHICLE_LEVEL_1/AP'),
         'Vehicle_L1_APH': ret.get('OBJECT_TYPE_TYPE_VEHICLE_LEVEL_1/APH'),
         'Vehicle_L2_AP': ret.get('OBJECT_TYPE_TYPE_VEHICLE_LEVEL_2/AP'),
         'wall_clock_s': round(time.time() - t0, 1),
     }
-    path = ROOT / 'CONVERGENCE_AP.json'
-    try:
-        merged = json.loads(path.read_text())
-    except (FileNotFoundError, ValueError):
-        merged = {}
-    merged[model_key] = out
-    path.write_text(json.dumps(merged, indent=1))
+    merge_entry(model_key, out)
     print(json.dumps(out))
 
 
