@@ -205,6 +205,12 @@ def main():
     model_yaml = (sys.argv[3] if len(sys.argv) > 3
                   else 'configs/kitti_models/GLENet_VR.yaml')
     cfg = cfg_from_yaml_file(str(ROOT / model_yaml))
+    if len(sys.argv) > 4:       # clamp the TEST voxel budget (memory-heavy
+        for proc in cfg.DATA_CONFIG.DATA_PROCESSOR:   # sparse-decoder models)
+            if proc.NAME == 'transform_points_to_voxels':
+                mv = proc.MAX_NUMBER_OF_VOXELS
+                if isinstance(mv, dict):
+                    mv['test'] = int(sys.argv[4])
     # AP is rank-based; the production score gates (0.3/0.81) assume the
     # 80-epoch confidence scale.  The variance-gated rcnn confidence grows
     # slowly from conf~0.5*sigmoid(cls) (reference 1e-4-init MLP), so at
