@@ -159,6 +159,13 @@ def subm_neighbor_table(ids, mask, grid, kernel_size=3):
     return out.reshape(kzy * 3, v)
 
 
+# Per-layer budget for the gathered (K, V, Cin) transient.  Above it the
+# contraction switches to bf16 gathers + K-chunked accumulation (below),
+# which is what lets UNet-scale eval budgets (40k voxels -> 120-160k active
+# decoder sites) and Waymo-scale caps fit single-chip HBM.
+GATHER_BYTES_BUDGET = 192 * 1024 * 1024
+
+
 def gather_gemm(features, nbr_idx, weights):
     """Sparse conv contraction: sum_k gather(features, nbr_idx[k]) @ W[k].
 
@@ -169,16 +176,48 @@ def gather_gemm(features, nbr_idx, weights):
     XLA maps straight onto the MXU; the (K, V, Cin) transient is ~110 MB at
     V=16k, C=64.)
 
+    Large tables (V * K * Cin beyond GATHER_BYTES_BUDGET) switch to a
+    low-memory path: features gathered in bfloat16 (f32 accumulation on the
+    MXU) and the K taps consumed in lax.scan chunks sized to the budget.
+
     Args:
         features: (V, Cin); nbr_idx: (K, V) with V == padding row;
         weights: (K, Cin, Cout).
     Returns: (V, Cout).
     """
+    k, v = nbr_idx.shape
+    cin = features.shape[-1]
+    if k * v * cin * features.dtype.itemsize <= GATHER_BYTES_BUDGET:
+        padded = jnp.concatenate(
+            [features, jnp.zeros((1, cin), features.dtype)], axis=0)
+        gathered = padded[nbr_idx]                               # (K, V, Cin)
+        return jnp.einsum('kvc,kco->vo', gathered, weights,
+                          preferred_element_type=features.dtype)
+
+    gdtype = (jnp.bfloat16 if features.dtype == jnp.float32
+              else features.dtype)
     padded = jnp.concatenate(
-        [features, jnp.zeros((1, features.shape[1]), features.dtype)], axis=0)
-    gathered = padded[nbr_idx]                                   # (K, V, Cin)
-    return jnp.einsum('kvc,kco->vo', gathered, weights,
-                      preferred_element_type=features.dtype)
+        [features, jnp.zeros((1, cin), features.dtype)],
+        axis=0).astype(gdtype)
+    chunk = max(1, GATHER_BYTES_BUDGET // (v * cin * 2))
+    n_chunks = -(-k // chunk)
+    pad_k = n_chunks * chunk - k
+    idx_p = jnp.concatenate(
+        [nbr_idx, jnp.full((pad_k, v), v, nbr_idx.dtype)]
+    ).reshape(n_chunks, chunk, v)
+    w_p = jnp.concatenate(
+        [weights, jnp.zeros((pad_k,) + weights.shape[1:], weights.dtype)]
+    ).reshape(n_chunks, chunk, cin, weights.shape[-1]).astype(gdtype)
+
+    def body(acc, args):
+        idx_c, w_c = args
+        g = padded[idx_c]                                    # (chunk, V, Cin)
+        return acc + jnp.einsum('kvc,kco->vo', g, w_c,
+                                preferred_element_type=jnp.float32), None
+
+    acc = jnp.zeros((v, weights.shape[-1]), jnp.float32)
+    acc, _ = jax.lax.scan(body, acc, (idx_p, w_p))
+    return acc.astype(features.dtype)
 
 
 def strided_output_sites(ids, mask, grid, kernel_size, stride, padding,

@@ -242,3 +242,22 @@ def test_level_caps_cover_strided_dilation():
     n_active = int(out_mask.sum())
     assert n_active > v, 'dilation must grow the active set'
     assert caps[1] >= n_active, (caps[1], n_active)
+
+
+def test_gather_gemm_low_mem_path_matches(monkeypatch):
+    """bf16 K-chunked path (large-V fallback) tracks the f32 einsum."""
+    rng = np.random.RandomState(0)
+    v, k, cin, cout = 64, 27, 16, 24
+    feats = jnp.asarray(rng.randn(v, cin), jnp.float32)
+    idx = jnp.asarray(rng.randint(0, v + 1, (k, v)), jnp.int32)
+    w = jnp.asarray(rng.randn(k, cin, cout) * 0.1, jnp.float32)
+
+    want = sparse.gather_gemm(feats, idx, w)
+    monkeypatch.setattr(sparse, 'GATHER_BYTES_BUDGET', 4096)
+    got = sparse.gather_gemm(feats, idx, w)
+    # bf16 gathers: ~3 decimal digits of feature mantissa
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)
+    # grads flow through the scan path
+    g = jax.grad(lambda f: sparse.gather_gemm(f, idx, w).sum())(feats)
+    assert np.isfinite(np.asarray(g)).all()

@@ -107,11 +107,11 @@ def test_train_and_eval_cli(tmp_path):
     ckpts = list((out_dir / 'ckpt').glob('checkpoint_epoch_*.msgpack'))
     assert len(ckpts) == 2
 
-    # resume: epoch 2 -> 3
+    # resume: epoch 2 -> 3 (+ exercise post-train BN re-estimation)
     _run_main(train_main, [
         'train.py', '--cfg_file', str(cfg_path),
         '--output_dir', str(out_dir), '--epochs', '3',
-        '--max_steps_per_epoch', '3'])
+        '--max_steps_per_epoch', '3', '--bn_refresh', '2'])
     ckpts = list((out_dir / 'ckpt').glob('checkpoint_epoch_*.msgpack'))
     assert len(ckpts) == 3
 

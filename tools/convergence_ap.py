@@ -176,6 +176,14 @@ def run_overfit(det, batches, n_steps, peak_lr):
                              for k, v in sorted(metrics.items()))
             print(f'step {i}: loss={final_loss:.3f} '
                   f'({time.time() - t0:.0f}s) | {terms}', flush=True)
+
+    # short runs leave the BN EMA (momentum 0.01) several time constants
+    # short of the true activation moments -> exact re-estimation
+    from glenet_tpu.train.bn_refresh import refresh_detector_stats
+    variables = refresh_detector_stats(
+        det, {'params': params, **mstate}, batches)
+    mstate = {k: v for k, v in variables.items() if k != 'params'}
+    print(f'bn stats refreshed over {len(batches)} batches', flush=True)
     return params, mstate, final_loss, t0
 
 

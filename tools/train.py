@@ -33,6 +33,10 @@ def parse_config():
     parser.add_argument('--data_path', type=str, default=None)
     parser.add_argument('--output_dir', type=str, default=None)
     parser.add_argument('--eval_after_train', action='store_true')
+    parser.add_argument('--bn_refresh', type=int, default=0,
+                        help='re-estimate BN running stats over N batches '
+                             'after training (exact SWA update_bn moments; '
+                             'recommended for short runs)')
     parser.add_argument('--max_steps_per_epoch', type=int, default=None)
     parser.add_argument('--profile_steps', type=int, default=0,
                         help='capture an xprof trace of N train steps to '
@@ -159,6 +163,27 @@ def main():
             ckpt_dir, epoch, args.max_ckpt_save_num)
 
     writer.close()
+    if args.bn_refresh and rank == 0:
+        from glenet_tpu.train.bn_refresh import refresh_detector_stats
+        refresh_batches = []
+        for batch in dataset.iter_batches(batch_size, seed=num_epochs,
+                                          process_rank=rank,
+                                          process_count=world):
+            if len(refresh_batches) >= args.bn_refresh:
+                break
+            refresh_batches.append(
+                {k: jnp.asarray(v) for k, v in batch.items()
+                 if isinstance(v, np.ndarray)})
+        host_ts = jax.device_get(ts)
+        variables = refresh_detector_stats(
+            detector, {'params': host_ts.params,
+                       'batch_stats': host_ts.batch_stats},
+            refresh_batches)
+        ts = ts.replace(batch_stats=variables['batch_stats'])
+        ckpt_lib.save_checkpoint(
+            ckpt_lib.checkpoint_state(jax.device_get(ts), num_epochs - 1, it),
+            ckpt_dir, num_epochs - 1, args.max_ckpt_save_num)
+        logger.info(f'BN stats refreshed over {len(refresh_batches)} batches')
     if args.eval_after_train:
         from tools.test import eval_checkpoint
         eval_checkpoint(cfg, detector, ts, output_dir, logger,
