@@ -162,8 +162,10 @@ def subm_neighbor_table(ids, mask, grid, kernel_size=3):
 # Per-layer budget for the gathered (K, V, Cin) transient.  Above it the
 # contraction switches to bf16 gathers + K-chunked accumulation (below),
 # which is what lets UNet-scale eval budgets (40k voxels -> 120-160k active
-# decoder sites) and Waymo-scale caps fit single-chip HBM.
-GATHER_BYTES_BUDGET = 192 * 1024 * 1024
+# decoder sites) and Waymo-scale caps fit single-chip HBM.  256 MB keeps
+# every KITTI-scale TRAIN layer (largest: level-2 subm, 56k x 27 x 32 x 4 B
+# = 193 MB) on the measured-fast f32 einsum path.
+GATHER_BYTES_BUDGET = 256 * 1024 * 1024
 
 
 def gather_gemm(features, nbr_idx, weights):
