@@ -498,13 +498,13 @@ class DetectorNet(nn.Module):
             return (boxes[idx], jnp.where(valid, scores[idx], 0.0),
                     jnp.where(valid, labels[idx], 0), valid)
 
+        # proposals are detached BEFORE NMS (reference runs proposal_layer
+        # and assign_targets under no_grad, roi_head_template.py:51,131);
+        # detaching after would trace tangents through the whole NMS IoU
+        # pass (~2x its cost) and the lazy NMS while_loop has no JVP rule
         rois, roi_scores, roi_labels, roi_valid = jax.vmap(one_sample)(
-            decoded['batch_box_preds'][..., :7], best_scores, best_labels)
-        # proposals are detached (reference runs proposal_layer and
-        # assign_targets under no_grad, roi_head_template.py:51,131);
-        # differentiating through the NMS loop is both wrong and generates
-        # a backward program that faults the TPU
-        rois, roi_scores = jax.lax.stop_gradient((rois, roi_scores))
+            jax.lax.stop_gradient(decoded['batch_box_preds'][..., :7]),
+            jax.lax.stop_gradient(best_scores), best_labels)
         out['proposals'] = {'rois': rois, 'roi_scores': roi_scores,
                             'roi_labels': roi_labels, 'roi_valid': roi_valid}
 
@@ -606,8 +606,8 @@ class DetectorNet(nn.Module):
                     jnp.where(valid, labels_s[idx], 0), valid)
 
         rois, roi_scores, roi_labels, roi_valid = jax.vmap(one_sample)(
-            boxes, best_scores, best_labels)
-        rois, roi_scores = jax.lax.stop_gradient((rois, roi_scores))
+            jax.lax.stop_gradient(boxes),
+            jax.lax.stop_gradient(best_scores), best_labels)
         out['proposals'] = {'rois': rois, 'roi_scores': roi_scores,
                             'roi_labels': roi_labels, 'roi_valid': roi_valid}
 
@@ -683,8 +683,8 @@ class DetectorNet(nn.Module):
                     jnp.where(valid, labels_s[idx], 0), valid)
 
         rois, roi_scores, roi_labels, roi_valid = jax.vmap(one_sample)(
-            boxes, best_scores, best_labels)
-        rois, roi_scores = jax.lax.stop_gradient((rois, roi_scores))
+            jax.lax.stop_gradient(boxes),
+            jax.lax.stop_gradient(best_scores), best_labels)
         out['proposals'] = {'rois': rois, 'roi_scores': roi_scores,
                             'roi_labels': roi_labels, 'roi_valid': roi_valid}
 

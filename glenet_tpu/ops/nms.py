@@ -6,9 +6,9 @@ eval time (pcdet/ops/iou3d_nms/iou3d_nms_utils.py:200-273).
 
 TPU formulation (round 2 — the round-1 greedy fori_loop recomputed a
 rotated-IoU row per sequential iteration, dominating two-stage model time):
-  1. the full (pre_max x pre_max) rotated-IoU matrix is computed ONCE,
-     fully parallel on the VPU (candidates are pre-sorted by score, so
-     greedy order == row order);
+  1. for small candidate counts the full (pre_max x pre_max) rotated-IoU
+     matrix is computed ONCE, fully parallel on the VPU (candidates are
+     pre-sorted by score, so greedy order == row order);
   2. the greedy suppression pass runs over 64-row blocks: inside a block
      the 64 keep decisions are unrolled scalar/vector ops on the block-
      local 64x64 sub-matrix; each block then suppresses all later boxes
@@ -18,8 +18,26 @@ rotated-IoU row per sequential iteration, dominating two-stage model time):
      "suppressor" (the first kept box overlapping it) is a min-reduce over
      the mask matrix, and cluster averages become one segment-sum.
 
+Large candidate counts (the train-time proposal NMS runs at
+NMS_PRE_MAXSIZE=9000, reference GLENet_VR.yaml) use a LAZY kept-buffer
+pass instead (`_greedy_keep_lazy`): a box's keep decision only ever
+depends on its IoU against *kept* higher-scored boxes, and only the first
+`post_max` keeps are returned, so the full (P, P) matrix (81M rotated
+polygon clips at P=9000 — profiled at ~1.8 s/step of the GLENet-VR train
+step) is unnecessary.  Blocks of 256 score-ordered candidates compute IoU
+against (a) a (post_max,) buffer of kept-box corners and (b) themselves,
+run the exact in-block greedy pass, and append their keeps to the buffer;
+the while_loop exits as soon as post_max boxes are kept.  Work is
+O(P * (post_max + 256)) clips worst-case (~15x fewer at 9000/512) and
+typically far less via the early exit.
+
 All outputs are fixed-shape: (post_max,) indices + validity mask (+ voted
 boxes), so the caller stays inside jit.
+
+NOTE: `nms_bev` above the dense-path threshold uses `lax.while_loop`,
+which has no JVP rule — callers must `stop_gradient` boxes/scores first
+(the proposal layers do; the reference also detaches proposals,
+roi_head_template.py:51).
 """
 from __future__ import annotations
 
@@ -83,6 +101,74 @@ def greedy_keep(supp_mat, live):
     return keep[:p0]
 
 
+_LAZY_BLK = 256
+
+
+def _greedy_keep_lazy(boxes_s, live, iou_threshold, post_max: int,
+                      blk: int = _LAZY_BLK):
+    """Greedy NMS keep flags without materializing the (P, P) IoU matrix.
+
+    Exactness: a candidate is suppressed iff it overlaps a *kept*
+    higher-scored box, so IoU against non-kept boxes is never needed.  The
+    kept-corner buffer is capped at `post_max` slots: a box kept at rank
+    >= post_max can only suppress candidates ranked after it, all of which
+    are dropped by the post_max cut anyway — so both the cap and the early
+    exit (stop once post_max boxes are kept) leave the returned first
+    `post_max` keeps identical to the full greedy pass.
+
+    Args:
+        boxes_s: (P, 7) score-sorted candidates.
+        live: (P,) bool — above the score threshold.
+    Returns:
+        keep: (P,) bool (entries after the early-exit point are False;
+        only the first post_max True entries are meaningful).
+    """
+    p0 = boxes_s.shape[0]
+    pad = (-p0) % blk
+    if pad:
+        boxes_s = jnp.pad(boxes_s, ((0, pad), (0, 0)))
+        live = jnp.pad(live, (0, pad))
+    p = p0 + pad
+    corners = iou3d.box_to_bev_corners(boxes_s)            # (P, 4, 2)
+    areas = boxes_s[:, 3] * boxes_s[:, 4]
+    k = post_max
+
+    def cond(state):
+        b, n_kept = state[0], state[1]
+        return (b < p // blk) & (n_kept < k)
+
+    def body(state):
+        b, n_kept, keep, buf_c, buf_a = state
+        base = b * blk
+        c_blk = jax.lax.dynamic_slice(corners, (base, 0, 0), (blk, 4, 2))
+        a_blk = jax.lax.dynamic_slice(areas, (base,), (blk,))
+        live_blk = jax.lax.dynamic_slice(live, (base,), (blk,))
+        ov_prev = iou3d._pairwise(c_blk, buf_c)            # (blk, k)
+        iou_prev = ov_prev / jnp.clip(
+            a_blk[:, None] + buf_a[None, :] - ov_prev, 1e-6, None)
+        # unfilled buffer slots hold degenerate zero-corner quads whose
+        # half-plane test is vacuously true — mask them out explicitly
+        filled = jnp.arange(k) < n_kept
+        free = live_blk & ~((iou_prev > iou_threshold)
+                            & filled[None, :]).any(axis=1)
+        ov_blk = iou3d._pairwise(c_blk, c_blk)             # (blk, blk)
+        iou_blk = ov_blk / jnp.clip(
+            a_blk[:, None] + a_blk[None, :] - ov_blk, 1e-6, None)
+        keep_blk = greedy_keep(iou_blk > iou_threshold, free)
+        rank = jnp.cumsum(keep_blk) - 1
+        slot = jnp.where(keep_blk, n_kept + rank, k).astype(jnp.int32)
+        buf_c = buf_c.at[slot].set(c_blk, mode='drop')     # slot >= k dropped
+        buf_a = buf_a.at[slot].set(a_blk, mode='drop')
+        keep = jax.lax.dynamic_update_slice(keep, keep_blk, (base,))
+        n_kept = n_kept + keep_blk.sum().astype(jnp.int32)
+        return b + 1, n_kept, keep, buf_c, buf_a
+
+    state = (jnp.int32(0), jnp.int32(0), jnp.zeros((p,), bool),
+             jnp.zeros((k, 4, 2), jnp.float32), jnp.zeros((k,), jnp.float32))
+    state = jax.lax.while_loop(cond, body, state)
+    return state[2][:p0]
+
+
 def _first_k_kept(keep, k):
     """Indices of the first k True entries of `keep` (score order) +
     validity.  Static shapes via rank-scatter."""
@@ -110,8 +196,11 @@ def nms_bev(boxes, scores, iou_threshold, pre_max: int = 4096,
     pre_max = min(pre_max, n)
     boxes_s, scores_s, order = _topk_boxes(boxes, scores, pre_max)
     live = scores_s > score_threshold
-    iou = iou3d.boxes_iou_bev_blocked(boxes_s, boxes_s)
-    keep = greedy_keep(iou > iou_threshold, live)
+    if pre_max <= 2 * _LAZY_BLK:
+        iou = iou3d.boxes_iou_bev_blocked(boxes_s, boxes_s)
+        keep = greedy_keep(iou > iou_threshold, live)
+    else:
+        keep = _greedy_keep_lazy(boxes_s, live, iou_threshold, post_max)
     keep_idx, keep_valid = _first_k_kept(keep, post_max)
     return order[keep_idx], keep_valid
 

@@ -186,3 +186,37 @@ def test_soft_nms_matches_oracle(rng):
     np.testing.assert_array_equal(idx, [w[0] for w in want])
     np.testing.assert_allclose(final, [w[1] for w in want],
                                rtol=1e-3, atol=1e-4)
+
+
+def test_lazy_nms_matches_dense(rng):
+    """The lazy kept-buffer path (pre_max > 2*_LAZY_BLK) must return the
+    same keeps as the dense-matrix path, including when post_max caps the
+    keep count (buffer overflow + early exit)."""
+    n = 1500
+    boxes = random_boxes(rng, n, spread=60.0)
+    scores = rng.uniform(0.01, 1.0, n).astype(np.float32)
+    want = np_greedy_nms(boxes, scores, 0.2)
+    for post_max in (16, 200, 1024):
+        idx, valid = nms.nms_bev(jnp.asarray(boxes), jnp.asarray(scores),
+                                 0.2, pre_max=n, post_max=post_max)
+        assert n > 2 * nms._LAZY_BLK  # actually exercises the lazy path
+        got = np.asarray(idx)[np.asarray(valid)]
+        np.testing.assert_array_equal(got, want[:post_max])
+
+
+def test_lazy_nms_score_threshold_and_vmap(rng):
+    import jax
+    n = 700
+    boxes = np.stack([random_boxes(rng, n, spread=40.0) for _ in range(2)])
+    scores = rng.uniform(0.0, 1.0, (2, n)).astype(np.float32)
+    idx, valid = jax.vmap(
+        lambda b, s: nms.nms_bev(b, s, 0.3, pre_max=n, post_max=64,
+                                 score_threshold=0.5))(
+        jnp.asarray(boxes), jnp.asarray(scores))
+    for b in range(2):
+        live = scores[b] > 0.5
+        masked = np.where(live, scores[b], -1.0)
+        want = np_greedy_nms(boxes[b], masked, 0.3)
+        want = want[live[want]]
+        got = np.asarray(idx[b])[np.asarray(valid[b])]
+        np.testing.assert_array_equal(got, want[:64])
