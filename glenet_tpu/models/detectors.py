@@ -112,7 +112,10 @@ class DetectorNet(nn.Module):
             self.backbone_3d = build_backbone_3d(
                 bb3d_cfg, grid_size=self.grid_size,
                 max_voxels=self.max_voxels, axis_name=self.axis_name,
-                voxel_size=self.voxel_size, pc_range=self.pc_range)
+                voxel_size=self.voxel_size, pc_range=self.pc_range,
+                # dense-level active-site lists are only consumed by the
+                # VSA keypoint path (PV-RCNN family)
+                site_lists=mcfg.get('PFE', None) is not None)
 
         self.point_head = None
         self.point_head_simple = None

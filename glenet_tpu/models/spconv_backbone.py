@@ -17,7 +17,7 @@ Static per-level voxel budgets cap the active-site tables.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import flax.linen as nn
 import jax
@@ -37,12 +37,19 @@ class SubMConvBN(nn.Module):
 
     @nn.compact
     def __call__(self, feats, nbr_idx, mask, train: bool = True):
-        """feats (B, V, Cin), nbr_idx (B, K, V), mask (B, V)."""
+        """feats (B, V, Cin), mask (B, V); nbr_idx is either a (B, K, V)
+        row table (sparse.subm_neighbor_table) or an x-block (q, sel) tuple
+        (sparse.subm_xblock_table — 3x fewer random HBM rows)."""
         cin = feats.shape[-1]
         w = self.param('kernel', nn.initializers.lecun_normal(),
                        (self.kernel_volume, cin, self.features))
-        out = jax.vmap(sparse.gather_gemm, in_axes=(0, 0, None))(
-            feats, nbr_idx, w)
+        if isinstance(nbr_idx, tuple):
+            out = jax.vmap(sparse.gather_gemm_xblocks,
+                           in_axes=(0, 0, 0, None))(
+                feats, nbr_idx[0], nbr_idx[1], w)
+        else:
+            out = jax.vmap(sparse.gather_gemm, in_axes=(0, 0, None))(
+                feats, nbr_idx, w)
         out = MaskedBatchNorm(axis_name=self.axis_name)(
             out, mask=mask, use_running_average=not train)
         if self.use_relu:
@@ -67,14 +74,22 @@ class SparseConvBN(nn.Module):
         w = self.param('kernel', nn.initializers.lecun_normal(),
                        (k_vol, cin, self.features))
 
+        kz, ky, kx = sparse._as3(self.kernel_size)
+
         def one(ids_s, mask_s, feats_s):
             out_ids, out_mask = sparse.strided_output_sites(
                 ids_s, mask_s, grid, self.kernel_size, self.stride,
                 self.padding, self.out_cap)
-            table = sparse.strided_gather_table(
-                ids_s, mask_s, out_ids, out_mask, grid,
-                self.kernel_size, self.stride, self.padding)
-            out = sparse.gather_gemm(feats_s, table, w)
+            if (kz, ky, kx) == (3, 3, 3):
+                q, sel = sparse.strided_xblock_table(
+                    ids_s, mask_s, out_ids, out_mask, grid,
+                    self.stride, self.padding)
+                out = sparse.gather_gemm_xblocks(feats_s, q, sel, w)
+            else:
+                table = sparse.strided_gather_table(
+                    ids_s, mask_s, out_ids, out_mask, grid,
+                    self.kernel_size, self.stride, self.padding)
+                out = sparse.gather_gemm(feats_s, table, w)
             return out, out_ids, out_mask
 
         out, out_ids, out_mask = jax.vmap(one)(ids, mask, feats)
@@ -134,6 +149,10 @@ class DenseConvBN(nn.Module):
     submanifold: bool = True
     use_relu: bool = True
     axis_name: Optional[str] = None
+    # conv compute dtype: bf16 inputs/weights with f32 accumulation — the
+    # MXU's native mode; activations stream at half the HBM bytes and BN
+    # still runs in f32 on the accumulated output
+    mxu_dtype: Optional[Any] = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, occ, train: bool = True):
@@ -145,16 +164,43 @@ class DenseConvBN(nn.Module):
         w = self.param('kernel', nn.initializers.lecun_normal(),
                        (kz * ky * kx, cin, self.features))
         w_dense = w.reshape(kz, ky, kx, cin, self.features)
-        out = jax.lax.conv_general_dilated(
-            x, w_dense, window_strides=(sz, sy, sx),
-            padding=((pz, pz), (py, py), (px, px)),
-            dimension_numbers=('NDHWC', 'DHWIO', 'NDHWC'))
+        cdt = self.mxu_dtype or x.dtype
+        # compute fully in bf16 (XLA accumulates f32 on the MXU) and cast
+        # back up for BN; a widening preferred_element_type here makes the
+        # VJP emit dtype-mismatched convs.
+        # The z axis is decomposed into kz shifted 2D convs: XLA's TPU
+        # lowering of genuine 3D convs measured ~3.5 TF/s on these grids
+        # while the equivalent batched 2D convs ride the tuned conv2d path.
+        xc = x.astype(cdt)
+        wc = w_dense.astype(cdt)
+        b, d, h, wd_, _ = xc.shape
+        d_out = max((d + 2 * pz - kz) // sz + 1, 0)
+        if pz:
+            xc = jnp.pad(xc, ((0, 0), (pz, pz), (0, 0), (0, 0), (0, 0)))
+        out = None
+        for dz in range(kz):
+            # clamped to an empty slice for degenerate d_out == 0 tiny-grid
+            # cases (shapes flow through; BN params still created)
+            dpad = xc.shape[1]
+            start = min(dz, dpad)
+            limit = min(max(dz + (d_out - 1) * sz + 1, start), dpad)
+            sl = jax.lax.slice_in_dim(xc, start, limit, sz,
+                                      axis=1)                  # (B,Do,H,W,C)
+            sl2 = sl.reshape(b * d_out, h, wd_, cin)
+            o2 = jax.lax.conv_general_dilated(
+                sl2, wc[dz], window_strides=(sy, sx),
+                padding=((py, py), (px, px)),
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+            out = o2 if out is None else out + o2
+        h_out, w_out = out.shape[1], out.shape[2]
+        out = out.reshape(b, d_out, h_out, w_out,
+                          self.features).astype(jnp.float32)
         if self.submanifold:
             new_occ = occ
         else:
-            occf = occ.astype(x.dtype)[..., None]
+            occf = occ.astype(jnp.float32)[..., None]
             occ_out = jax.lax.conv_general_dilated(
-                occf, jnp.ones((kz, ky, kx, 1, 1), x.dtype),
+                occf, jnp.ones((kz, ky, kx, 1, 1), jnp.float32),
                 window_strides=(sz, sy, sx),
                 padding=((pz, pz), (py, py), (px, px)),
                 dimension_numbers=('NDHWC', 'DHWIO', 'NDHWC'))
@@ -181,6 +227,10 @@ class VoxelBackBone8x(nn.Module):
     channels: tuple = (16, 32, 64, 64)  # Res: (16, 32, 64, 128)
     residual: bool = False              # VoxelResBackBone8x: SparseBasicBlock
     dense_from: int = 3
+    # sorted active-site lists for the dense levels (x_conv3/4 'ids'/'mask'):
+    # only VSA-style consumers need them; building them costs ~80 ms/step of
+    # sort/unique work at KITTI scale, so PFE-less detectors turn them off
+    site_lists: bool = True
     axis_name: Optional[str] = None
 
     @property
@@ -212,7 +262,7 @@ class VoxelBackBone8x(nn.Module):
 
         # --- level 1: conv_input + conv1 (shared subm neighbor table) ------
         nbr1 = jax.vmap(
-            lambda i, m: sparse.subm_neighbor_table(i, m, grid1, 3))(ids, mask)
+            lambda i, m: sparse.subm_xblock_table(i, m, grid1))(ids, mask)
         def subm_unit(x, ch, nbr, m, name):
             """Plain subm conv-BN-ReLU, or a residual SparseBasicBlock
             (spconv_backbone.py:36-66) when self.residual."""
@@ -259,15 +309,17 @@ class VoxelBackBone8x(nn.Module):
             c2, 3, 2, 1, out_cap=caps[1], axis_name=self.axis_name,
             name='conv2_down')(x, ids, mask, grid1, train=train)
         nbr2 = jax.vmap(
-            lambda i, m: sparse.subm_neighbor_table(i, m, grid2, 3))(ids2, mask2)
+            lambda i, m: sparse.subm_xblock_table(i, m, grid2))(ids2, mask2)
         for j in range(self.subm_per_block[0]):
             x = subm_unit(x, c2, nbr2, mask2, f'conv2_{j}')
         ms['x_conv2'] = {'kind': 'sparse', 'features': x, 'ids': ids2,
                          'mask': mask2, 'grid': grid2, 'stride': 2}
 
         # --- level 3: sparse downsample, then densify its stride-4 output ---
-        # (densifying the stride-2 grid would cost ~3 GB/sample; the stride-4
-        # grid is 8x smaller and the MXU dense convs there beat gathers)
+        # (a dense stride-2 conv on the scattered level-2 grid was tried and
+        # measured SLOWER overall: the ~760 MB/sample zero canvas + the
+        # z-shifted slice copies cost ~250 ms/step, more than the gather
+        # table + row gathers they replace)
         assert self.dense_from == 3, 'only dense_from=3 currently wired'
         x, ids3, mask3, grid3 = SparseConvBN(
             c3, 3, 2, 1, out_cap=caps[2], axis_name=self.axis_name,
@@ -293,13 +345,14 @@ class VoxelBackBone8x(nn.Module):
         for j in range(self.subm_per_block[2]):
             xd, occ = dense_unit(xd, occ, c4, f'conv4_{j}')
         grid4 = sparse.out_grid_size(grid3, 3, 2, (0, 1, 1))
-        # active sites of the dense stride-8 level via the spconv activation
-        # rule (identical to the dense occupancy dilation conv4_down applies)
-        ids4, mask4 = jax.vmap(lambda i, m: sparse.strided_output_sites(
-            i, m, grid3, 3, 2, (0, 1, 1), caps[3]))(ids3, mask3)
         ms['x_conv4'] = {'kind': 'dense', 'features': xd, 'occ': occ,
-                         'ids': ids4, 'mask': mask4,
                          'grid': grid4, 'stride': 8}
+        if self.site_lists:
+            # active sites of the dense stride-8 level via the spconv
+            # activation rule (same dilation conv4_down applies to occ)
+            ids4, mask4 = jax.vmap(lambda i, m: sparse.strided_output_sites(
+                i, m, grid3, 3, 2, (0, 1, 1), caps[3]))(ids3, mask3)
+            ms['x_conv4'].update(ids=ids4, mask=mask4)
 
         # --- conv_out: z-compression (3,1,1) stride (2,1,1) pad 0 -----------
         xd, occ = DenseRemat(self.out_channels, (3, 1, 1), (2, 1, 1),
@@ -355,7 +408,7 @@ class UNetV2(nn.Module):
 
         def make_nbr(ids, m, grid):
             return jax.vmap(
-                lambda i, mm: sparse.subm_neighbor_table(i, mm, grid, 3))(
+                lambda i, mm: sparse.subm_xblock_table(i, mm, grid))(
                 ids, m)
 
         def subm(x, ch, nbr, m, name, relu=True):
@@ -465,7 +518,7 @@ class UNetV2(nn.Module):
 
 
 def build_backbone_3d(bb3d_cfg, grid_size, max_voxels, axis_name=None,
-                      voxel_size=None, pc_range=None):
+                      voxel_size=None, pc_range=None, site_lists=True):
     name = bb3d_cfg.NAME
     if name == 'UNetV2':
         kwargs = {}
@@ -477,15 +530,16 @@ def build_backbone_3d(bb3d_cfg, grid_size, max_voxels, axis_name=None,
                       axis_name=axis_name, **kwargs)
     if name == 'VoxelBackBone8x':
         return VoxelBackBone8x(grid_size=tuple(grid_size),
-                               max_voxels=max_voxels, axis_name=axis_name)
+                               max_voxels=max_voxels, axis_name=axis_name,
+                               site_lists=site_lists)
     if name == 'VoxelResBackBone8x':
         return VoxelBackBone8x(grid_size=tuple(grid_size),
                                max_voxels=max_voxels, residual=True,
                                channels=(16, 32, 64, 128),
-                               axis_name=axis_name)
+                               axis_name=axis_name, site_lists=site_lists)
     if name == 'VoxelBackBone8xCiassd':
         return VoxelBackBone8x(grid_size=tuple(grid_size),
                                max_voxels=max_voxels,
                                subm_per_block=(2, 3, 3), out_channels=64,
-                               axis_name=axis_name)
+                               axis_name=axis_name, site_lists=site_lists)
     raise NotImplementedError(name)

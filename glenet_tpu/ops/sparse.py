@@ -167,6 +167,14 @@ def subm_neighbor_table(ids, mask, grid, kernel_size=3):
 # = 193 MB) on the measured-fast f32 einsum path.
 GATHER_BYTES_BUDGET = 256 * 1024 * 1024
 
+# Compute dtype for the gather + tap-contraction: bf16 halves the bytes of
+# the latency-bound row gathers (the dominant sparse-conv cost on TPU) and
+# is the MXU's native input dtype; accumulation stays f32 via
+# preferred_element_type.  Set to None to force full f32 (used by the
+# tight-tolerance oracle tests; production numerics are validated
+# separately by the bf16-tolerance test and the convergence harness).
+GATHER_COMPUTE_DTYPE: 'jnp.dtype | None' = jnp.bfloat16
+
 
 def gather_gemm(features, nbr_idx, weights):
     """Sparse conv contraction: sum_k gather(features, nbr_idx[k]) @ W[k].
@@ -189,19 +197,22 @@ def gather_gemm(features, nbr_idx, weights):
     """
     k, v = nbr_idx.shape
     cin = features.shape[-1]
-    if k * v * cin * features.dtype.itemsize <= GATHER_BYTES_BUDGET:
+    gdtype = features.dtype
+    if GATHER_COMPUTE_DTYPE is not None and features.dtype == jnp.float32:
+        gdtype = GATHER_COMPUTE_DTYPE
+    if k * v * cin * jnp.dtype(gdtype).itemsize <= GATHER_BYTES_BUDGET:
         padded = jnp.concatenate(
-            [features, jnp.zeros((1, cin), features.dtype)], axis=0)
+            [features, jnp.zeros((1, cin), features.dtype)],
+            axis=0).astype(gdtype)
         gathered = padded[nbr_idx]                               # (K, V, Cin)
-        return jnp.einsum('kvc,kco->vo', gathered, weights,
-                          preferred_element_type=features.dtype)
-
-    gdtype = (jnp.bfloat16 if features.dtype == jnp.float32
-              else features.dtype)
+        return jnp.einsum('kvc,kco->vo', gathered, weights.astype(gdtype),
+                          preferred_element_type=jnp.float32
+                          ).astype(features.dtype)
     padded = jnp.concatenate(
         [features, jnp.zeros((1, cin), features.dtype)],
         axis=0).astype(gdtype)
-    chunk = max(1, GATHER_BYTES_BUDGET // (v * cin * 2))
+    chunk = max(1, GATHER_BYTES_BUDGET
+                // (v * cin * jnp.dtype(gdtype).itemsize))
     n_chunks = -(-k // chunk)
     pad_k = n_chunks * chunk - k
     idx_p = jnp.concatenate(
@@ -220,6 +231,135 @@ def gather_gemm(features, nbr_idx, weights):
     acc = jnp.zeros((v, weights.shape[-1]), jnp.float32)
     acc, _ = jax.lax.scan(body, acc, (idx_p, w_p))
     return acc.astype(features.dtype)
+
+
+def _gather_rows3(ext, q):
+    """ext (N, C); q (...,) int32 block starts — returns (..., 3, C) with
+    rows ext[q], ext[q+1], ext[q+2] fetched as ONE contiguous-slice gather
+    (one random HBM access per 3 rows instead of 3)."""
+    n, c = ext.shape
+    qs = q.reshape(-1, 1)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0,))
+    out = jax.lax.gather(ext, qs, dn, slice_sizes=(3, c), mode='clip')
+    return out.reshape(q.shape + (3, c))
+
+
+def subm_xblock_table(ids, mask, grid):
+    """x-block neighbor table for a 3^3 submanifold conv.
+
+    Linear ids are x-minor, so for each (dz, dy) offset the three x taps hit
+    three CONSECUTIVE linear ids; active sites with consecutive ids occupy
+    consecutive slots in the sorted table.  One merged-searchsorted of the
+    (neighbor id - 1) anchors (9 V queries instead of 27 V) plus one
+    3-row block gather per (dz, dy) group replaces 27 per-row lookups.
+
+    Args: ids (V,) sorted linear ids (n_cells sentinel in invalid slots);
+          mask (V,) bool.
+    Returns:
+        q:   (9, V) int32 block-start slots in [0, V-1];
+        sel: (9, V, 3, 3) bool — sel[g, v, t, dx] means block row t holds
+             the dx tap's neighbor (row ids are compared against the
+             expected consecutive ids, so gaps in the active set are
+             handled exactly).
+    """
+    nx, ny, nz = grid
+    n_cells = nx * ny * nz
+    v = ids.shape[0]
+    z, y, x = delinearize(jnp.where(mask, ids, 0), grid)
+    d = jnp.asarray(np.stack(np.meshgrid(
+        np.arange(3) - 1, np.arange(3) - 1, indexing='ij'),
+        axis=-1).reshape(-1, 2), jnp.int32)                       # (9, 2)
+    tz = z[None, :] + d[:, 0:1]
+    ty = y[None, :] + d[:, 1:2]
+    valid_c = (mask[None, :]
+               & (tz >= 0) & (tz < nz) & (ty >= 0) & (ty < ny))   # (9, V)
+    tid_c = linearize(tz, ty, x[None, :], grid)                   # center id
+    base = jnp.where(valid_c, tid_c - 1, n_cells)
+    q = jnp.clip(merged_searchsorted(ids, base), 0, v - 1)
+    ids_ext = jnp.concatenate(
+        [ids, jnp.full((3,), -(2 ** 30), ids.dtype)])
+    rid = _gather_rows3(ids_ext[:, None], q)[..., 0]              # (9, V, 3)
+    exp = base[..., None] + jnp.arange(3, dtype=ids.dtype)        # (9, V, 3)
+    xok = jnp.stack([x - 1 >= 0, jnp.ones_like(mask),
+                     x + 1 < nx], axis=-1)                        # (V, 3)
+    sel = (rid[..., :, None] == exp[..., None, :])                # t vs dx
+    sel = sel & valid_c[..., None, None] & xok[None, :, None, :]
+    return q, sel
+
+
+def strided_xblock_table(in_ids, in_mask, out_ids, out_mask, grid,
+                         stride, padding):
+    """x-block gather table for a strided 3^3 sparse conv: for output site o
+    and (dz, dy) group, the three x taps read input ids
+    base + {0, 1, 2} with base = linearize(oz*s - p + dz, oy*s - p + dy,
+    ox*s - p) — consecutive, so the same block-gather trick as
+    subm_xblock_table applies.  Returns (q (9, Vout), sel (9, Vout, 3, 3));
+    feed to gather_gemm_xblocks.
+    """
+    sz, sy, sx = _as3(stride)
+    pz, py, px = _as3(padding)
+    nx, ny, nz = grid
+    n_cells = nx * ny * nz
+    ogrid = out_grid_size(grid, 3, stride, padding)
+    onx, ony, onz = ogrid
+    v_in = in_ids.shape[0]
+
+    oz = out_ids // (ony * onx)
+    rem = out_ids % (ony * onx)
+    oy, ox = rem // onx, rem % onx
+    oz = jnp.where(out_mask, oz, 0)
+    oy = jnp.where(out_mask, oy, 0)
+    ox = jnp.where(out_mask, ox, 0)
+    d = jnp.asarray(np.stack(np.meshgrid(
+        np.arange(3), np.arange(3), indexing='ij'),
+        axis=-1).reshape(-1, 2), jnp.int32)                       # (9, 2)
+    iz = oz[None, :] * sz - pz + d[:, 0:1]
+    iy = oy[None, :] * sy - py + d[:, 1:2]
+    ix0 = ox * sx - px                                            # (Vout,)
+    valid_c = (out_mask[None, :]
+               & (iz >= 0) & (iz < nz) & (iy >= 0) & (iy < ny))   # (9, Vout)
+    base = jnp.where(valid_c, linearize(iz, iy, ix0[None, :], grid),
+                     n_cells)
+    q = jnp.clip(merged_searchsorted(in_ids, base), 0, v_in - 1)
+    ids_ext = jnp.concatenate(
+        [in_ids, jnp.full((3,), -(2 ** 30), in_ids.dtype)])
+    rid = _gather_rows3(ids_ext[:, None], q)[..., 0]              # (9, Vo, 3)
+    exp = base[..., None] + jnp.arange(3, dtype=in_ids.dtype)
+    xok = jnp.stack([(ix0 >= 0) & (ix0 < nx),
+                     (ix0 + 1 >= 0) & (ix0 + 1 < nx),
+                     (ix0 + 2 >= 0) & (ix0 + 2 < nx)], axis=-1)   # (Vout, 3)
+    sel = (rid[..., :, None] == exp[..., None, :])
+    sel = sel & valid_c[..., None, None] & xok[None, :, None, :]
+    return q, sel
+
+
+def gather_gemm_xblocks(features, q, sel, weights):
+    """Sparse-conv contraction over an x-block table (subm_xblock_table /
+    strided_xblock_table): the row gathers are HBM-latency-bound (~40 ns
+    per random row measured, independent of row width), so fetching each
+    (dz, dy) group's three x taps as one contiguous 3-row block cuts the
+    random-access count 3x.
+
+    Args:
+        features: (V, Cin) (invalid slots hold zeros);
+        q: (9, Vout) block starts; sel: (9, Vout, 3, 3) row->tap selector;
+        weights: (27, Cin, Cout) in (dz, dy)-major dx-minor tap order.
+    Returns: (Vout, Cout).
+    """
+    v, cin = features.shape
+    g, vo = q.shape
+    gdtype = features.dtype
+    if GATHER_COMPUTE_DTYPE is not None and features.dtype == jnp.float32:
+        gdtype = GATHER_COMPUTE_DTYPE
+    ext = jnp.concatenate(
+        [features, jnp.zeros((3, cin), features.dtype)]).astype(gdtype)
+    blocks = _gather_rows3(ext, q)                        # (9, Vo, 3, Cin)
+    per_tap = jnp.einsum('gvtc,gvtd->gvdc', blocks, sel.astype(gdtype))
+    w = weights.reshape(g, 3, cin, -1).astype(gdtype)
+    return jnp.einsum('gvdc,gdco->vo', per_tap, w,
+                      preferred_element_type=jnp.float32
+                      ).astype(features.dtype)
 
 
 def strided_output_sites(ids, mask, grid, kernel_size, stride, padding,

@@ -25,7 +25,8 @@ def _rand_sparse(rng, grid, v_cap, n_active):
     return jnp.asarray(out.astype(np.int32)), jnp.asarray(mask)
 
 
-def test_inverse_conv_oracle(rng):
+def test_inverse_conv_oracle(rng, monkeypatch):
+    monkeypatch.setattr(sparse, 'GATHER_COMPUTE_DTYPE', None)
     """inverse_gather_table + gather_gemm == dense transposed-conv oracle
     restricted to the fine active set."""
     grid = (8, 8, 6)                       # (nx, ny, nz)

@@ -13,6 +13,13 @@ from glenet_tpu.ops import sparse
 GRID = (10, 8, 6)  # (nx, ny, nz)
 
 
+@pytest.fixture
+def f32_gather(monkeypatch):
+    """Pin gather_gemm to full f32 for tight-tolerance oracle comparisons
+    (production defaults to bf16 gathers; see test_gather_gemm_bf16)."""
+    monkeypatch.setattr(sparse, 'GATHER_COMPUTE_DTYPE', None)
+
+
 def make_sparse(rng, n_active, cap, cin):
     nx, ny, nz = GRID
     n_cells = nx * ny * nz
@@ -38,7 +45,7 @@ def dense_conv(dense_in, w_dense, stride=(1, 1, 1), padding=((1, 1), (1, 1), (1,
     return np.asarray(out[0])
 
 
-def test_subm_conv_matches_dense(rng):
+def test_subm_conv_matches_dense(rng, f32_gather):
     cin, cout = 4, 8
     feats, ids, mask = make_sparse(rng, 40, 64, cin)
     w = rng.randn(27, cin, cout).astype(np.float32) * 0.1
@@ -60,7 +67,7 @@ def test_subm_conv_matches_dense(rng):
                                    rtol=1e-4, atol=1e-4)
 
 
-def test_strided_conv_matches_dense(rng):
+def test_strided_conv_matches_dense(rng, f32_gather):
     cin, cout = 4, 6
     feats, ids, mask = make_sparse(rng, 30, 64, cin)
     w = rng.randn(27, cin, cout).astype(np.float32) * 0.1
@@ -81,7 +88,7 @@ def test_strided_conv_matches_dense(rng):
     np.testing.assert_allclose(sparse_dense_out, dense_out, rtol=1e-4, atol=1e-4)
 
 
-def test_strided_asymmetric_padding(rng):
+def test_strided_asymmetric_padding(rng, f32_gather):
     """conv4-style: kernel 3, stride 2, padding (0, 1, 1)."""
     cin, cout = 3, 5
     feats, ids, mask = make_sparse(rng, 25, 48, cin)
@@ -104,7 +111,7 @@ def test_strided_asymmetric_padding(rng):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
-def test_zcompress_conv(rng):
+def test_zcompress_conv(rng, f32_gather):
     """conv_out-style: kernel (3,1,1), stride (2,1,1), padding 0."""
     cin, cout = 4, 8
     feats, ids, mask = make_sparse(rng, 30, 64, cin)
@@ -261,3 +268,43 @@ def test_gather_gemm_low_mem_path_matches(monkeypatch):
     # grads flow through the scan path
     g = jax.grad(lambda f: sparse.gather_gemm(f, idx, w).sum())(feats)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_gather_gemm_bf16_close_to_f32(rng, monkeypatch):
+    """Production gathers run in bf16 (f32 accumulation); verify they stay
+    within bf16 rounding of the f32 path."""
+    cin, cout = 8, 16
+    feats, ids, mask = make_sparse(rng, 40, 64, cin)
+    w = jnp.asarray(rng.randn(27, cin, cout).astype(np.float32) * 0.1)
+    nbr = sparse.subm_neighbor_table(ids, mask, GRID, 3)
+    got = np.asarray(sparse.gather_gemm(feats, nbr, w))
+    assert got.dtype == np.float32
+    monkeypatch.setattr(sparse, 'GATHER_COMPUTE_DTYPE', None)
+    want = np.asarray(sparse.gather_gemm(feats, nbr, w))
+    np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-2)
+
+
+def test_xblock_matches_row_table(rng, f32_gather):
+    """The x-block gather path (contiguous 3-row block gathers) must equal
+    the row-table gather_gemm for both subm and strided 3^3 convs."""
+    cin, cout = 5, 7
+    feats, ids, mask = make_sparse(rng, 40, 64, cin)
+    w = jnp.asarray(rng.randn(27, cin, cout).astype(np.float32) * 0.1)
+
+    nbr = sparse.subm_neighbor_table(ids, mask, GRID, 3)
+    want = np.asarray(sparse.gather_gemm(feats, nbr, w))
+    q, sel = sparse.subm_xblock_table(ids, mask, GRID)
+    got = np.asarray(sparse.gather_gemm_xblocks(feats, q, sel, w))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    for stride, padding in [(2, 1), (2, (0, 1, 1)), (1, 1)]:
+        out_ids, out_mask = sparse.strided_output_sites(
+            ids, mask, GRID, 3, stride, padding, out_cap=64)
+        table = sparse.strided_gather_table(
+            ids, mask, out_ids, out_mask, GRID, 3, stride, padding)
+        want = np.asarray(sparse.gather_gemm(feats, table, w))
+        q, sel = sparse.strided_xblock_table(
+            ids, mask, out_ids, out_mask, GRID, stride, padding)
+        got = np.asarray(sparse.gather_gemm_xblocks(feats, q, sel, w))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5,
+                                   err_msg=f'stride={stride} pad={padding}')

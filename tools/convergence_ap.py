@@ -40,9 +40,16 @@ CALIB = {
 
 
 def car_surface_points(rng, box, n=350):
-    """Sample points on the walls + roof of a box (lidar-like surfaces)."""
+    """Sample points on the walls + roof of a box (lidar-like surfaces).
+
+    The shape is deliberately front/back ASYMMETRIC — a 3x-denser front
+    face and a cabin roof offset toward the rear — so heading *direction*
+    (not just axis) is inferable from geometry, as it is for real cars.
+    A symmetric box makes the direction-classifier task pure per-scene
+    memorization and its loss plateaus at chance for some backbones.
+    """
     x, y, z, dx, dy, dz, ry = box
-    faces = [('x+', dy * dz), ('x-', dy * dz), ('y+', dx * dz),
+    faces = [('x+', 3.0 * dy * dz), ('x-', dy * dz), ('y+', dx * dz),
              ('y-', dx * dz), ('z+', dx * dy)]
     areas = np.array([a for _, a in faces])
     pick = rng.choice(len(faces), size=n, p=areas / areas.sum())
@@ -60,7 +67,8 @@ def car_surface_points(rng, box, n=350):
                                  np.full(m.sum(), 0.5 if name == 'y+'
                                          else -0.5) * dy, v[m] * dz], 1)
         else:
-            local[m] = np.stack([u[m] * dx, v[m] * dy,
+            # cabin roof: half-length, centered over the rear half
+            local[m] = np.stack([(0.5 * u[m] - 0.2) * dx, v[m] * dy,
                                  np.full(m.sum(), 0.5) * dz], 1)
     c, s = np.cos(ry), np.sin(ry)
     gx = local[:, 0] * c - local[:, 1] * s + x
