@@ -52,8 +52,42 @@ def bench_predict(cfg_path, batches):
     return len(batches) * BATCH / dt
 
 
+def _detect_platform(timeout=150):
+    """Probe the JAX backend in a subprocess.
+
+    When the TPU tunnel is dead, axon backend init hangs indefinitely
+    (it does NOT fall back to CPU), so the probe must be out-of-process
+    with a hard timeout.
+    """
+    import subprocess
+    code = ('import jax\n'
+            'print("PLATFORM=" + jax.devices()[0].platform)\n')
+    try:
+        r = subprocess.run([sys.executable, '-c', code],
+                           capture_output=True, text=True, timeout=timeout)
+        for line in r.stdout.splitlines():
+            if line.startswith('PLATFORM='):
+                return line.split('=', 1)[1]
+    except subprocess.TimeoutExpired:
+        pass
+    return 'cpu'
+
+
 def main():
+    global N_ITER
     from bench_model import make_batch
+
+    platform = _detect_platform()
+    if platform == 'cpu':
+        # TPU tunnel down/hung: still honor the one-JSON-line contract,
+        # but don't spend an hour on full-scale CPU inference
+        N_ITER = 2
+        print('[warn] no accelerator reachable; benching on CPU',
+              file=sys.stderr)
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
+    else:
+        import jax
 
     rng = np.random.RandomState(0)
     batches = [make_batch(np.random.RandomState(i)) for i in range(N_ITER)]
@@ -68,6 +102,7 @@ def main():
         'value': round(sps, 2),
         'unit': 'scans/s',
         'vs_baseline': round(sps / A100_VOXELRCNN_SCANS_PER_SEC, 3),
+        'platform': platform,
     }))
     sys.stdout.flush()
 

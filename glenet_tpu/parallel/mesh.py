@@ -2,9 +2,15 @@
 reference's DDP/NCCL stack (SURVEY.md §2.5).
 
 Data parallelism: 1-D mesh over all devices, batch sharded on axis 0,
-parameters replicated; XLA inserts gradient all-reduces over ICI.  The mesh
-is named ('data',) now but model code takes `axis_name` so tensor/pipeline
-axes can be added without refactoring.
+parameters replicated; XLA inserts gradient all-reduces over ICI.
+
+Tensor parallelism: 2-D ('data', 'model') mesh — large kernels are sharded
+on their output-channel axis over 'model' (`param_shardings`); XLA's SPMD
+partitioner propagates the shardings through the net and inserts the
+all-gathers / reduce-scatters.  Pipeline/sequence/expert axes don't map
+onto this architecture (a shallow conv-net with no sequential stage
+boundary worth a pipeline bubble; the only "experts" are the tiny PLE-head
+MMoE MLPs) — the mesh API leaves the axes open regardless.
 """
 from __future__ import annotations
 
@@ -15,11 +21,57 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = 'data'
+MODEL_AXIS = 'model'
 
 
 def make_mesh(devices=None, axis_name: str = DATA_AXIS) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     return Mesh(np.asarray(devices), (axis_name,))
+
+
+def make_mesh_2d(devices=None, mp: int = 2) -> Mesh:
+    """(data, model) mesh: dp = n_devices // mp."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    assert n % mp == 0, f'{n} devices not divisible by mp={mp}'
+    return Mesh(np.asarray(devices).reshape(n // mp, mp),
+                (DATA_AXIS, MODEL_AXIS))
+
+
+def param_shardings(tree, mesh: Mesh, min_size: int = 1 << 12):
+    """Tensor-parallel shardings for a params-like pytree (params, or a
+    whole TrainState — adam moments pick up the same rule by shape).
+
+    Kernels with >= min_size elements and a 'model'-divisible last
+    (output-channel) axis shard over MODEL_AXIS; everything else (biases,
+    BN stats, scalars) replicates.  Output-channel sharding is the natural
+    TP cut for conv/dense stacks: each shard computes its channel slice,
+    and XLA all-gathers only where a full activation is required.
+    """
+    mp = mesh.shape[MODEL_AXIS]
+
+    def rule(x):
+        shape = getattr(x, 'shape', ())
+        size = int(np.prod(shape)) if shape else 1
+        if len(shape) >= 2 and size >= min_size and shape[-1] % mp == 0:
+            spec = [None] * (len(shape) - 1) + [MODEL_AXIS]
+            return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(rule, tree)
+
+
+def jit_train_step_2d(train_step, mesh: Mesh, state_shardings):
+    """jit a (state, batch) -> (state, metrics) step on a (data, model)
+    mesh: batch sharded over 'data', large kernels over 'model'."""
+    rep = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.jit(
+        train_step,
+        in_shardings=(state_shardings, data),
+        out_shardings=(state_shardings, rep),
+        donate_argnums=(0,),
+    )
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
