@@ -13,11 +13,14 @@ of the protocol the reference wraps via TF `detection_metrics`
     under PR; mAPH weights every true positive by its heading accuracy
     (1 - |wrapped heading error| / pi).
 
-Divergence from the official package (documented): matching is greedy by
-detection score instead of Hungarian.  With one-to-one matching at a fixed
-IoU threshold the two differ only in rare multi-overlap ties; the official
-tool needs TF + the waymo-open-dataset wheel, neither of which is
-installable in this environment.
+Matching follows the official protocol: at every score cutoff the
+surviving detections are re-matched one-to-one to gts by Hungarian
+assignment maximizing total IoU over pairs above the class threshold
+(with thresholds >= 0.5 this also maximizes match cardinality, since any
+two matches outweigh one).  Frames whose det x gt pair count exceeds
+`HUNGARIAN_BUDGET` fall back to greedy score-ordered matching — the two
+differ only in rare multi-overlap ties.  (The official tool itself needs
+TF + the waymo-open-dataset wheel, neither installable here.)
 
 The reference feeds frame-indexed flat arrays; here annos follow our
 dataset convention: per-frame dicts with 'name', 'boxes_lidar'
@@ -31,6 +34,8 @@ import numpy as np
 CLASS_IOU = {'Vehicle': 0.7, 'Pedestrian': 0.5, 'Truck': 0.5,
              'Cyclist': 0.5}
 N_CUTOFFS = 101
+# above this det x gt pair count, per-cutoff Hungarian falls back to greedy
+HUNGARIAN_BUDGET = 250_000
 
 
 def _iou3d(boxes_a, boxes_b):
@@ -47,26 +52,27 @@ def _heading_accuracy(dh):
     return np.clip(1.0 - dh / np.pi, 0.0, 1.0)
 
 
-def _match_frame(det_boxes, det_scores, gt_boxes, iou_thresh):
-    """Greedy score-ordered one-to-one matching.
-
-    Returns matched gt index per det (-1 unmatched) and heading accuracy
-    per matched det."""
-    nd, ng = len(det_boxes), len(gt_boxes)
+def _match_once(gain, hungarian):
+    """One-to-one matching of a (nd, ng) gain matrix (IoU where the pair
+    clears the class threshold, else 0).  Returns matched gt index per det
+    (-1 unmatched).  Hungarian maximizes total matched IoU; the greedy
+    fallback walks rows in order (rows are pre-sorted by score)."""
+    nd, ng = gain.shape
     match = np.full(nd, -1, np.int64)
-    ha = np.zeros(nd)
-    if nd == 0 or ng == 0:
-        return match, ha
-    iou = _iou3d(det_boxes, gt_boxes)
+    if hungarian:
+        from scipy.optimize import linear_sum_assignment
+        rows, cols = linear_sum_assignment(gain, maximize=True)
+        hit = gain[rows, cols] > 0.0
+        match[rows[hit]] = cols[hit]
+        return match
     taken = np.zeros(ng, bool)
-    for d in np.argsort(-det_scores):
-        cand = np.where(~taken & (iou[d] >= iou_thresh))[0]
+    for d in range(nd):
+        cand = np.where(~taken & (gain[d] > 0.0))[0]
         if cand.size:
-            g = cand[np.argmax(iou[d][cand])]
+            g = cand[np.argmax(gain[d][cand])]
             match[d] = g
             taken[g] = True
-            ha[d] = _heading_accuracy(det_boxes[d, 6] - gt_boxes[g, 6])
-    return match, ha
+    return match
 
 
 def _gt_difficulty(anno, mask):
@@ -102,7 +108,10 @@ def _ap_from_curve(recalls, precisions):
 def evaluate_class_level(det_annos, gt_annos, class_name, level):
     """AP and APH for one class at one difficulty level."""
     iou_thresh = CLASS_IOU[class_name]
-    all_scores, all_tp_w, all_is_tp = [], [], []
+    cutoffs = np.linspace(0.0, 1.0, N_CUTOFFS)
+    tp = np.zeros(N_CUTOFFS)
+    tp_h = np.zeros(N_CUTOFFS)
+    n_det = np.zeros(N_CUTOFFS)
     n_gt_eligible = 0
     for det, gt in zip(det_annos, gt_annos):
         gmask = np.asarray([n == class_name for n in gt['name']], bool)
@@ -122,35 +131,47 @@ def evaluate_class_level(det_annos, gt_annos, class_name, level):
             if len(dmask) else np.zeros((0, 7))
         dboxes = dboxes[:, :7][dmask]
         dscores = np.asarray(det['score'])[dmask]
-        match, ha = _match_frame(dboxes, dscores, gboxes, iou_thresh)
-
-        is_tp = (match >= 0) & eligible[np.clip(match, 0, None)]
-        ignored = (match >= 0) & ~eligible[np.clip(match, 0, None)]
-        use = ~ignored                     # ignore-region matches dropped
-        all_scores.append(dscores[use])
-        all_is_tp.append(is_tp[use])
-        all_tp_w.append(np.where(is_tp[use], ha[use], 0.0))
-
-    scores = np.concatenate(all_scores) if all_scores else np.zeros(0)
-    is_tp = np.concatenate(all_is_tp) if all_is_tp else np.zeros(0, bool)
-    tp_w = np.concatenate(all_tp_w) if all_tp_w else np.zeros(0)
-    if n_gt_eligible == 0:
-        return 0.0, 0.0
-
-    cutoffs = np.linspace(0.0, 1.0, N_CUTOFFS)
-    recalls, precisions, precisions_h = [], [], []
-    for c in cutoffs:
-        sel = scores >= c
-        nd = int(sel.sum())
+        nd, ng = len(dboxes), len(gboxes)
         if nd == 0:
             continue
-        tp = int(is_tp[sel].sum())
-        recalls.append(tp / n_gt_eligible)
-        precisions.append(tp / nd)
-        precisions_h.append(float(tp_w[sel].sum()) / nd)
-    recalls = np.asarray(recalls)
-    ap = _ap_from_curve(recalls, np.asarray(precisions))
-    aph = _ap_from_curve(recalls, np.asarray(precisions_h))
+        order = np.argsort(-dscores)
+        dboxes, dscores = dboxes[order], dscores[order]
+        if ng:
+            iou = _iou3d(dboxes, gboxes)
+            gain = np.where(iou >= iou_thresh, iou, 0.0)
+            ha = _heading_accuracy(dboxes[:, 6:7] - gboxes[None, :, 6])
+        hungarian = nd * ng <= HUNGARIAN_BUDGET
+        # number of dets surviving each cutoff (scores sorted descending);
+        # matching depends only on that count, so cache per count
+        counts = np.searchsorted(-dscores, -cutoffs, side='right')
+        by_count = {}
+        for ci in range(N_CUTOFFS):
+            k = int(counts[ci])
+            if k == 0:
+                continue
+            if ng == 0:
+                n_det[ci] += k
+                continue
+            if k not in by_count:
+                match = _match_once(gain[:k], hungarian)
+                is_tp = (match >= 0) & eligible[np.clip(match, 0, None)]
+                ignored = (match >= 0) & ~eligible[np.clip(match, 0, None)]
+                hsum = float(ha[np.arange(k)[is_tp], match[is_tp]].sum())
+                by_count[k] = (int(is_tp.sum()), hsum,
+                               k - int(ignored.sum()))
+            t, th, n = by_count[k]
+            tp[ci] += t
+            tp_h[ci] += th
+            n_det[ci] += n
+
+    if n_gt_eligible == 0:
+        return 0.0, 0.0
+    valid = n_det > 0
+    recalls = tp[valid] / n_gt_eligible
+    precisions = tp[valid] / n_det[valid]
+    precisions_h = tp_h[valid] / n_det[valid]
+    ap = _ap_from_curve(recalls, precisions)
+    aph = _ap_from_curve(recalls, precisions_h)
     return ap * 100.0, aph * 100.0
 
 

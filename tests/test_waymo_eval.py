@@ -70,6 +70,34 @@ def test_missing_detections_halve_ap(rng):
     assert 40.0 < ap < 60.0
 
 
+def test_hungarian_recovers_multi_overlap():
+    """Two heavily-overlapping gts, two dets: the higher-scored det's BEST
+    gt is the only gt the lower-scored det clears the 0.7 threshold with.
+    Greedy-by-score strands the second det (1 TP); the official per-cutoff
+    Hungarian matching recovers both (AP 100)."""
+    gt = {'name': np.array(['Vehicle'] * 2),
+          'boxes_lidar': np.array([[0.0, 0, 1, 4, 2, 2, 0],
+                                   [0.4, 0, 1, 4, 2, 2, 0]], np.float32),
+          'num_points_in_gt': np.full(2, 50),
+          'difficulty': np.zeros(2, np.int64)}
+    det = {'name': np.array(['Vehicle'] * 2),
+           'boxes_lidar': np.array([[0.1, 0, 1, 4, 2, 2, 0],
+                                    [-0.35, 0, 1, 4, 2, 2, 0]], np.float32),
+           'score': np.array([0.95, 0.90])}
+    _, ret = waymo_eval.waymo_evaluation([det], [gt], ['Vehicle'])
+    assert ret['OBJECT_TYPE_TYPE_VEHICLE_LEVEL_1/AP'] > 99.0
+
+    # the greedy fallback (oversized frames) documents the divergence:
+    # det A takes gt1, det B clears the threshold with no remaining gt
+    orig = waymo_eval.HUNGARIAN_BUDGET
+    waymo_eval.HUNGARIAN_BUDGET = 0
+    try:
+        _, ret = waymo_eval.waymo_evaluation([det], [gt], ['Vehicle'])
+    finally:
+        waymo_eval.HUNGARIAN_BUDGET = orig
+    assert ret['OBJECT_TYPE_TYPE_VEHICLE_LEVEL_1/AP'] < 99.0
+
+
 def test_false_positives_reduce_precision(rng):
     gts, dets = [], []
     for _ in range(4):

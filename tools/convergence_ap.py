@@ -85,7 +85,12 @@ def make_scene(seed):
     placed = []
     for g in range(n_cars):
         for _ in range(20):
-            cx, cy = rng.uniform(8, 55), rng.uniform(-18, 18)
+            cx = rng.uniform(8, 55)
+            # keep gts inside the synthetic camera's ~41 deg half-angle FOV
+            # (KITTI only labels FOV objects; out-of-FOV boxes project
+            # degenerate image bboxes and depress bbox/aos AP)
+            ymax = min(18.0, 0.7 * cx)
+            cy = rng.uniform(-ymax, ymax)
             if all((cx - px) ** 2 + (cy - py) ** 2 > 36 for px, py in placed):
                 break
         placed.append((cx, cy))     # last candidate even if crowded
