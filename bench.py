@@ -35,6 +35,9 @@ def bench_predict(cfg_path, batches):
 
     from glenet_tpu.config import cfg_from_yaml_file
     from glenet_tpu.models.detectors import build_detector
+    from glenet_tpu.utils import jax_cache
+
+    jax_cache.enable()
 
     cfg = cfg_from_yaml_file(cfg_path)
     det = build_detector(cfg)

@@ -105,14 +105,16 @@ def _ap_from_curve(recalls, precisions):
     return float(np.sum((r[1:] - r[:-1]) * p[1:]))
 
 
-def evaluate_class_level(det_annos, gt_annos, class_name, level):
-    """AP and APH for one class at one difficulty level."""
+def evaluate_class(det_annos, gt_annos, class_name, levels=(1, 2)):
+    """{level: (AP, APH)} for one class.  Matching is level-independent
+    (eligibility only classifies matches afterwards), so both difficulty
+    levels share one IoU matrix and one Hungarian solve per frame/cutoff."""
     iou_thresh = CLASS_IOU[class_name]
     cutoffs = np.linspace(0.0, 1.0, N_CUTOFFS)
-    tp = np.zeros(N_CUTOFFS)
-    tp_h = np.zeros(N_CUTOFFS)
-    n_det = np.zeros(N_CUTOFFS)
-    n_gt_eligible = 0
+    tp = {lv: np.zeros(N_CUTOFFS) for lv in levels}
+    tp_h = {lv: np.zeros(N_CUTOFFS) for lv in levels}
+    n_det = {lv: np.zeros(N_CUTOFFS) for lv in levels}
+    n_gt_eligible = {lv: 0 for lv in levels}
     for det, gt in zip(det_annos, gt_annos):
         gmask = np.asarray([n == class_name for n in gt['name']], bool)
         gboxes = np.asarray(gt['boxes_lidar']).reshape(len(gmask), -1) \
@@ -123,8 +125,9 @@ def evaluate_class_level(det_annos, gt_annos, class_name, level):
         if npts is not None:
             keep = np.asarray(npts)[gmask] > 0
             gboxes, diff = gboxes[keep], diff[keep]
-        eligible = diff <= level
-        n_gt_eligible += int(eligible.sum())
+        eligible = {lv: diff <= lv for lv in levels}
+        for lv in levels:
+            n_gt_eligible[lv] += int(eligible[lv].sum())
 
         dmask = np.asarray([n == class_name for n in det['name']], bool)
         dboxes = np.asarray(det['boxes_lidar']).reshape(len(dmask), -1) \
@@ -150,29 +153,46 @@ def evaluate_class_level(det_annos, gt_annos, class_name, level):
             if k == 0:
                 continue
             if ng == 0:
-                n_det[ci] += k
+                for lv in levels:
+                    n_det[lv][ci] += k
                 continue
             if k not in by_count:
                 match = _match_once(gain[:k], hungarian)
-                is_tp = (match >= 0) & eligible[np.clip(match, 0, None)]
-                ignored = (match >= 0) & ~eligible[np.clip(match, 0, None)]
-                hsum = float(ha[np.arange(k)[is_tp], match[is_tp]].sum())
-                by_count[k] = (int(is_tp.sum()), hsum,
-                               k - int(ignored.sum()))
-            t, th, n = by_count[k]
-            tp[ci] += t
-            tp_h[ci] += th
-            n_det[ci] += n
+                per_level = {}
+                for lv in levels:
+                    is_tp = (match >= 0) & \
+                        eligible[lv][np.clip(match, 0, None)]
+                    ignored = (match >= 0) & \
+                        ~eligible[lv][np.clip(match, 0, None)]
+                    hsum = float(ha[np.arange(k)[is_tp],
+                                    match[is_tp]].sum())
+                    per_level[lv] = (int(is_tp.sum()), hsum,
+                                     k - int(ignored.sum()))
+                by_count[k] = per_level
+            for lv in levels:
+                t, th, n = by_count[k][lv]
+                tp[lv][ci] += t
+                tp_h[lv][ci] += th
+                n_det[lv][ci] += n
 
-    if n_gt_eligible == 0:
-        return 0.0, 0.0
-    valid = n_det > 0
-    recalls = tp[valid] / n_gt_eligible
-    precisions = tp[valid] / n_det[valid]
-    precisions_h = tp_h[valid] / n_det[valid]
-    ap = _ap_from_curve(recalls, precisions)
-    aph = _ap_from_curve(recalls, precisions_h)
-    return ap * 100.0, aph * 100.0
+    out = {}
+    for lv in levels:
+        if n_gt_eligible[lv] == 0:
+            out[lv] = (0.0, 0.0)
+            continue
+        valid = n_det[lv] > 0
+        recalls = tp[lv][valid] / n_gt_eligible[lv]
+        precisions = tp[lv][valid] / n_det[lv][valid]
+        precisions_h = tp_h[lv][valid] / n_det[lv][valid]
+        out[lv] = (_ap_from_curve(recalls, precisions) * 100.0,
+                   _ap_from_curve(recalls, precisions_h) * 100.0)
+    return out
+
+
+def evaluate_class_level(det_annos, gt_annos, class_name, level):
+    """AP and APH for one class at one difficulty level."""
+    return evaluate_class(det_annos, gt_annos, class_name,
+                          levels=(level,))[level]
 
 
 def waymo_evaluation(det_annos, gt_annos, class_names):
@@ -183,8 +203,8 @@ def waymo_evaluation(det_annos, gt_annos, class_names):
     for cls in class_names:
         if cls not in CLASS_IOU:
             continue
-        for level in (1, 2):
-            ap, aph = evaluate_class_level(det_annos, gt_annos, cls, level)
+        by_level = evaluate_class(det_annos, gt_annos, cls)
+        for level, (ap, aph) in sorted(by_level.items()):
             key = f'OBJECT_TYPE_TYPE_{cls.upper()}_LEVEL_{level}'
             ret[f'{key}/AP'] = ap
             ret[f'{key}/APH'] = aph

@@ -181,6 +181,12 @@ class DetectorNet(nn.Module):
 
         self._is_part_free = mcfg.get('DENSE_HEAD', None) is None
         if self._is_part_free:
+            assert (self.part_head is not None
+                    and getattr(self, '_pt_coder', None) is not None), (
+                'a DENSE_HEAD-less (PartA2-free) topology needs a '
+                'PointIntraPartOffsetHead POINT_HEAD with REG_FC and '
+                'TARGET_CONFIG.BOX_CODER (the anchor-free box branch '
+                'provides stage-1 proposals)')
             # PartA2-free topology (reference PartA2_free.yaml: PointRCNN
             # detector class with a UNetV2 backbone, the intra-part head as
             # the anchor-free stage 1, and NO BEV/dense-head stages).
@@ -490,41 +496,15 @@ class DetectorNet(nn.Module):
             best_scores = cls_scores.max(axis=-1)
             best_labels = cls_scores.argmax(axis=-1) + 1
         nms_cfg = roi_mcfg.ROI_HEAD.NMS_CONFIG['TRAIN' if train else 'TEST']
-        pre_max = int(nms_cfg.NMS_PRE_MAXSIZE)
-        post_max = int(nms_cfg.NMS_POST_MAXSIZE)
-
-        def one_sample(boxes, scores, labels):
-            idx, valid = nms_ops.nms_bev(
-                boxes, scores, float(nms_cfg.NMS_THRESH),
-                pre_max=pre_max, post_max=post_max,
-                score_threshold=float(nms_cfg.get('SCORE_THRESH', 0.0)))
-            return (boxes[idx], jnp.where(valid, scores[idx], 0.0),
-                    jnp.where(valid, labels[idx], 0), valid)
-
-        # proposals are detached BEFORE NMS (reference runs proposal_layer
-        # and assign_targets under no_grad, roi_head_template.py:51,131);
-        # detaching after would trace tangents through the whole NMS IoU
-        # pass (~2x its cost) and the lazy NMS while_loop has no JVP rule
-        rois, roi_scores, roi_labels, roi_valid = jax.vmap(one_sample)(
-            jax.lax.stop_gradient(decoded['batch_box_preds'][..., :7]),
-            jax.lax.stop_gradient(best_scores), best_labels)
+        rois, roi_scores, roi_labels, roi_valid = self._nms_proposals(
+            decoded['batch_box_preds'], best_scores, best_labels, nms_cfg)
         out['proposals'] = {'rois': rois, 'roi_scores': roi_scores,
                             'roi_labels': roi_labels, 'roi_valid': roi_valid}
 
         if train:
-            assert gt_boxes is not None
-            rng = self.make_rng('roi_sampler')
-            tcfg = roi_mcfg.ROI_HEAD.TARGET_CONFIG
-            keys = jax.random.split(rng, rois.shape[0])
-            targets = jax.vmap(functools.partial(
-                roi_lib.sample_rois_single, cfg=tcfg))(
-                keys, rois, roi_scores, roi_labels, gt_boxes, gt_mask,
-                gt_uncertainty)
-            b, r = targets['rois'].shape[:2]
-            gt_ct = jax.vmap(roi_lib.canonical_gt_of_rois)(
-                targets['rois'], targets['gt_of_rois_src'])
-            targets['gt_of_rois_ct'] = gt_ct
-            targets = jax.lax.stop_gradient(targets)
+            targets = self._sample_roi_targets(
+                rois, roi_scores, roi_labels, gt_boxes, gt_mask,
+                gt_uncertainty, roi_mcfg.ROI_HEAD.TARGET_CONFIG)
             out['roi_targets'] = targets
             roi_in = targets['rois']
             roi_in_valid = jnp.ones(roi_in.shape[:2], bool)
@@ -560,6 +540,49 @@ class DetectorNet(nn.Module):
         out['rcnn']['rois'] = roi_in
         return out
 
+    def _nms_proposals(self, boxes, scores, labels, nms_cfg):
+        """Per-sample fixed-slot BEV NMS over decoded stage-1 boxes ->
+        (rois, roi_scores, roi_labels, roi_valid), shared by the anchor,
+        PartA2-free and PointRCNN proposal paths.
+
+        Proposals are detached BEFORE NMS (the reference runs
+        proposal_layer and assign_targets under no_grad,
+        roi_head_template.py:51,131); detaching after would trace tangents
+        through the whole NMS IoU pass (~2x its cost) and the lazy NMS
+        while_loop has no JVP rule."""
+        from ..ops import nms as nms_ops
+        pre_max = int(nms_cfg.NMS_PRE_MAXSIZE)
+        post_max = int(nms_cfg.NMS_POST_MAXSIZE)
+
+        def one_sample(boxes_s, scores_s, labels_s):
+            idx, valid = nms_ops.nms_bev(
+                boxes_s, scores_s, float(nms_cfg.NMS_THRESH),
+                pre_max=pre_max, post_max=post_max,
+                score_threshold=float(nms_cfg.get('SCORE_THRESH', 0.0)))
+            return (boxes_s[idx], jnp.where(valid, scores_s[idx], 0.0),
+                    jnp.where(valid, labels_s[idx], 0), valid)
+
+        return jax.vmap(one_sample)(
+            jax.lax.stop_gradient(boxes[..., :7]),
+            jax.lax.stop_gradient(scores), labels)
+
+    def _sample_roi_targets(self, rois, roi_scores, roi_labels, gt_boxes,
+                            gt_mask, gt_uncertainty, tcfg):
+        """Train-time fg/bg roi subsampling + canonical-frame gt targets
+        (ProposalTargetLayer semantics), detached as in the reference."""
+        from . import roi_heads as roi_lib
+        assert gt_boxes is not None
+        rng = self.make_rng('roi_sampler')
+        keys = jax.random.split(rng, rois.shape[0])
+        unc = (gt_uncertainty if gt_uncertainty is not None
+               else jnp.ones((*gt_boxes.shape[:2], 7), rois.dtype))
+        targets = jax.vmap(functools.partial(
+            roi_lib.sample_rois_single, cfg=tcfg))(
+            keys, rois, roi_scores, roi_labels, gt_boxes, gt_mask, unc)
+        targets['gt_of_rois_ct'] = jax.vmap(roi_lib.canonical_gt_of_rois)(
+            targets['rois'], targets['gt_of_rois_src'])
+        return jax.lax.stop_gradient(targets)
+
     def _part_free_forward(self, sp_out, gt_boxes, gt_mask, gt_uncertainty,
                            train):
         """PartA2-free stage 1 + 2: intra-part head (with box branch) on the
@@ -567,11 +590,8 @@ class DetectorNet(nn.Module):
         PartA2FCHead (reference PartA2_free.yaml topology; proposal flow as
         point_rcnn.py, part assembly partA2_head.py:118-126 with
         DISABLE_PART substituting raw coords for part offsets)."""
-        import functools
         from flax.core import unfreeze
         from ..config import Cfg
-        from ..ops import nms as nms_ops
-        from . import roi_heads as roi_lib
 
         coords = sp_out['point_coords']
         pmask = sp_out['point_mask']
@@ -597,35 +617,15 @@ class DetectorNet(nn.Module):
             part_out['point_box_preds'], coords, best_labels)
 
         nms_cfg = roi_cfg.NMS_CONFIG['TRAIN' if train else 'TEST']
-        pre_max = int(nms_cfg.NMS_PRE_MAXSIZE)
-        post_max = int(nms_cfg.NMS_POST_MAXSIZE)
-
-        def one_sample(boxes_s, scores_s, labels_s):
-            idx, valid = nms_ops.nms_bev(
-                boxes_s[:, :7], scores_s, float(nms_cfg.NMS_THRESH),
-                pre_max=pre_max, post_max=post_max,
-                score_threshold=float(nms_cfg.get('SCORE_THRESH', 0.0)))
-            return (boxes_s[idx, :7], jnp.where(valid, scores_s[idx], 0.0),
-                    jnp.where(valid, labels_s[idx], 0), valid)
-
-        rois, roi_scores, roi_labels, roi_valid = jax.vmap(one_sample)(
-            jax.lax.stop_gradient(boxes),
-            jax.lax.stop_gradient(best_scores), best_labels)
+        rois, roi_scores, roi_labels, roi_valid = self._nms_proposals(
+            boxes, best_scores, best_labels, nms_cfg)
         out['proposals'] = {'rois': rois, 'roi_scores': roi_scores,
                             'roi_labels': roi_labels, 'roi_valid': roi_valid}
 
         if train:
-            assert gt_boxes is not None
-            rng = self.make_rng('roi_sampler')
-            keys = jax.random.split(rng, rois.shape[0])
-            unc = (gt_uncertainty if gt_uncertainty is not None
-                   else jnp.ones((*gt_boxes.shape[:2], 7), boxes.dtype))
-            targets = jax.vmap(functools.partial(
-                roi_lib.sample_rois_single, cfg=roi_cfg.TARGET_CONFIG))(
-                keys, rois, roi_scores, roi_labels, gt_boxes, gt_mask, unc)
-            targets['gt_of_rois_ct'] = jax.vmap(roi_lib.canonical_gt_of_rois)(
-                targets['rois'], targets['gt_of_rois_src'])
-            targets = jax.lax.stop_gradient(targets)
+            targets = self._sample_roi_targets(
+                rois, roi_scores, roi_labels, gt_boxes, gt_mask,
+                gt_uncertainty, roi_cfg.TARGET_CONFIG)
             out['roi_targets'] = targets
             roi_in = targets['rois']
         else:
@@ -653,12 +653,9 @@ class DetectorNet(nn.Module):
         """PointRCNN RoI refinement (reference pointrcnn_head.py:10-179):
         stage-1 point boxes -> NMS proposals -> (train: roi sampling) ->
         roipoint pooling (detached, as the reference's no_grad) -> head."""
-        import functools
         from flax.core import unfreeze
         from ..config import Cfg
-        from ..ops import nms as nms_ops
         from ..ops import roipoint_pool
-        from . import roi_heads as roi_lib
         from .point_rcnn_head import canonicalize_pooled, pool_prefix_features
 
         head_out = out['point_head']
@@ -674,36 +671,15 @@ class DetectorNet(nn.Module):
             head_out['point_box_preds'], xyz, best_labels)
 
         nms_cfg = roi_cfg.NMS_CONFIG['TRAIN' if train else 'TEST']
-        pre_max = int(nms_cfg.NMS_PRE_MAXSIZE)
-        post_max = int(nms_cfg.NMS_POST_MAXSIZE)
-
-        def one_sample(boxes_s, scores_s, labels_s):
-            idx, valid = nms_ops.nms_bev(
-                boxes_s[:, :7], scores_s, float(nms_cfg.NMS_THRESH),
-                pre_max=pre_max, post_max=post_max,
-                score_threshold=float(nms_cfg.get('SCORE_THRESH', 0.0)))
-            return (boxes_s[idx, :7], jnp.where(valid, scores_s[idx], 0.0),
-                    jnp.where(valid, labels_s[idx], 0), valid)
-
-        rois, roi_scores, roi_labels, roi_valid = jax.vmap(one_sample)(
-            jax.lax.stop_gradient(boxes),
-            jax.lax.stop_gradient(best_scores), best_labels)
+        rois, roi_scores, roi_labels, roi_valid = self._nms_proposals(
+            boxes, best_scores, best_labels, nms_cfg)
         out['proposals'] = {'rois': rois, 'roi_scores': roi_scores,
                             'roi_labels': roi_labels, 'roi_valid': roi_valid}
 
         if train:
-            assert gt_boxes is not None
-            rng = self.make_rng('roi_sampler')
-            tcfg = roi_cfg.TARGET_CONFIG
-            keys = jax.random.split(rng, rois.shape[0])
-            unc = (gt_uncertainty if gt_uncertainty is not None
-                   else jnp.ones((*gt_boxes.shape[:2], 7), boxes.dtype))
-            targets = jax.vmap(functools.partial(
-                roi_lib.sample_rois_single, cfg=tcfg))(
-                keys, rois, roi_scores, roi_labels, gt_boxes, gt_mask, unc)
-            targets['gt_of_rois_ct'] = jax.vmap(roi_lib.canonical_gt_of_rois)(
-                targets['rois'], targets['gt_of_rois_src'])
-            targets = jax.lax.stop_gradient(targets)
+            targets = self._sample_roi_targets(
+                rois, roi_scores, roi_labels, gt_boxes, gt_mask,
+                gt_uncertainty, roi_cfg.TARGET_CONFIG)
             out['roi_targets'] = targets
             roi_in = targets['rois']
         else:

@@ -63,10 +63,12 @@ def local_grid_offsets(rmax: float, num_voxel) -> jnp.ndarray:
 
 
 def _auto_chunk(requested: int, n_support: int) -> int:
-    """Cap the chunk so the (chunk x N) distance matrix stays ~64M f32
-    (256 MB) regardless of support size — Waymo scenes carry ~180k raw
-    points, where a 1024-row chunk alone would be ~740 MB."""
-    cap = max(64, (64 * 1024 * 1024) // max(n_support, 1))
+    """Cap the chunk so each (chunk x N) matrix stays ~32M f32 (128 MB).
+    ~3-4 such intermediates are live at once inside `block` (d2/d,
+    in_range, ok), bounding the peak near 0.5 GB regardless of support
+    size — Waymo scenes carry ~180k raw points, where an uncapped
+    1024-row chunk would be ~740 MB *per matrix*."""
+    cap = max(64, (32 * 1024 * 1024) // max(n_support, 1))
     return int(min(requested, cap))
 
 
@@ -100,8 +102,11 @@ def three_nn_within(query, support, support_mask, rmax: float,
         if neighbor_type == 1:
             in_range = d < rmax
         else:
-            diff = jnp.abs(qb[:, None, :] - support[None, :, :])
-            in_range = jnp.all(diff < rmax, axis=-1)
+            # accumulate per-axis so no (c, N, 3) tensor materializes
+            in_range = jnp.ones(d.shape, bool)
+            for a in range(3):
+                in_range &= jnp.abs(qb[:, None, a]
+                                    - support[None, :, a]) < rmax
         ok = in_range & support_mask[None, :]
         d = jnp.where(ok, d, BIG)
         idxs, dists, valids = [], [], []
@@ -148,11 +153,14 @@ def interpolate_into_grids(support_xyz, support_feats, support_mask,
 
 def pool_into_grids(support_xyz, support_feats, support_mask, new_xyz,
                     rmax: float, num_voxel, avg: bool,
-                    chunk: int = 2048):
+                    nsample: int = -1, chunk: int = 2048):
     """`voxel_avg_pool` / `voxel_random_choice` path (vector_pool_gpu.cu
     query_three_nn... / vector_pool kernels; pooling_type 0=avg 1=choice).
 
     Bins support points into each query's local sub-voxel grid.
+    nsample > 0 caps each query at its FIRST nsample in-range support
+    points in support order — the reference kernel's scan-order break
+    (vector_pool_gpu.cu:341), a perf cap, not a random subsample.
     Returns (M, G, C + 3): pooled features ++ pooled local offset."""
     chunk = _auto_chunk(chunk, support_xyz.shape[0])
     g_total = int(num_voxel[0] * num_voxel[1] * num_voxel[2])
@@ -170,6 +178,9 @@ def pool_into_grids(support_xyz, support_feats, support_mask, new_xyz,
     def block(qb):                                           # (cq, 3)
         rel = support_xyz[None, :, :] - qb[:, None, :]       # (cq, N, 3)
         inside = jnp.all(jnp.abs(rel) < rmax, axis=-1) & support_mask[None]
+        if nsample > 0:
+            rank = jnp.cumsum(inside.astype(jnp.int32), axis=1)
+            inside = inside & (rank <= nsample)
         cell = jnp.clip(((rel + rmax) / steps).astype(jnp.int32),
                         0, jnp.asarray(num_voxel, jnp.int32) - 1)
         gid = (cell * strides).sum(-1)                       # (cq, N)
@@ -238,6 +249,12 @@ class VectorPoolAggregation(nn.Module):
         g = g_vox[0] * g_vox[1] * g_vox[2]
 
         if self.local_aggregation_type == 'local_interpolation':
+            # the 3-NN search has no nsample analogue here; all shipped
+            # interpolation groups use -1 (all neighbors within range)
+            assert self.neighbor_nsample == -1, (
+                'NEIGHBOR_NSAMPLE > 0 with local_interpolation is not '
+                'implemented (reference three-nn candidate cap); the '
+                'shipped configs use -1 for interpolation groups')
             offsets = local_grid_offsets(self.max_neighbor_distance, g_vox)
             vec = jax.vmap(functools.partial(
                 interpolate_into_grids, grid_offsets=offsets,
@@ -249,7 +266,8 @@ class VectorPoolAggregation(nn.Module):
             avg = self.local_aggregation_type == 'voxel_avg_pool'
             vec = jax.vmap(functools.partial(
                 pool_into_grids, rmax=self.max_neighbor_distance,
-                num_voxel=g_vox, avg=avg))(
+                num_voxel=g_vox, avg=avg,
+                nsample=self.neighbor_nsample))(
                 xyz, feats, xyz_mask, new_xyz)               # (B, M, G, 3+r)
 
         # grouped per-voxel linear (Conv1d groups=G, :279-283)

@@ -15,6 +15,10 @@ import jax
 
 jax.config.update('jax_platforms', 'cpu')
 
+from glenet_tpu.utils import jax_cache
+
+jax_cache.enable()  # repeated suite runs hit the persistent XLA cache
+
 import numpy as np
 import pytest
 

@@ -75,6 +75,30 @@ def test_pool_into_grids_avg_oracle():
                                            feats[sel].mean(0), atol=1e-4)
 
 
+def test_pool_into_grids_nsample_caps_scan_order():
+    """nsample > 0 pools only each query's FIRST nsample in-range support
+    points in support order (reference vector_pool_gpu.cu:341 break)."""
+    rng = np.random.RandomState(3)
+    support = rng.uniform(-1, 1, (128, 3)).astype(np.float32)
+    feats = rng.randn(128, 4).astype(np.float32)
+    mask = np.ones(128, bool)
+    new_xyz = rng.uniform(-0.5, 0.5, (5, 3)).astype(np.float32)
+    rmax, nv, k = 0.6, (2, 2, 2), 7
+    capped = np.asarray(vp.pool_into_grids(
+        jnp.asarray(support), jnp.asarray(feats), jnp.asarray(mask),
+        jnp.asarray(new_xyz), rmax, nv, avg=True, nsample=k, chunk=4))
+    for m in range(5):
+        rel = support - new_xyz[m]
+        inside = (np.abs(rel) < rmax).all(1)
+        # oracle: mask off everything after the k-th in-range point
+        order_rank = np.cumsum(inside)
+        keep = inside & (order_rank <= k)
+        oracle = np.asarray(vp.pool_into_grids(
+            jnp.asarray(support), jnp.asarray(feats), jnp.asarray(keep),
+            jnp.asarray(new_xyz[m:m + 1]), rmax, nv, avg=True, chunk=4))
+        np.testing.assert_allclose(capped[m], oracle[0], atol=1e-5)
+
+
 def test_pool_into_grids_choice_picks_member():
     rng = np.random.RandomState(2)
     support = rng.uniform(-1, 1, (64, 3)).astype(np.float32)

@@ -218,6 +218,9 @@ def main():
 
     from glenet_tpu.config import cfg_from_yaml_file
     from glenet_tpu.eval import kitti_eval
+    from glenet_tpu.utils import jax_cache
+
+    jax_cache.enable()
     from glenet_tpu.models.detectors import build_detector
     from glenet_tpu.utils.calibration_kitti import Calibration
 

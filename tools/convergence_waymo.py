@@ -81,6 +81,9 @@ def main():
     from glenet_tpu.config import cfg_from_yaml_file
     from glenet_tpu.eval import waymo_eval
     from glenet_tpu.models.detectors import build_detector
+    from glenet_tpu.utils import jax_cache
+
+    jax_cache.enable()
 
     n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 700
     peak_lr = float(sys.argv[2]) if len(sys.argv) > 2 else 1e-3

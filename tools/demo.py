@@ -74,7 +74,8 @@ def main():
     predict = jax.jit(lambda v, b: det.predict(v, b))
     sink = open(args.output, 'w') if args.output else None
     for f in files:
-        preds = jax.device_get(predict(variables, load(f)))
+        fbatch = load(f)
+        preds = jax.device_get(predict(variables, fbatch))
         v = preds['final_valid'][0]
         record = {
             'frame': Path(f).stem,
@@ -89,7 +90,9 @@ def main():
             print(line, file=sink)
         if args.html_dir or args.ply_dir:
             from visual_utils import scene_vis
-            raw = np.fromfile(f, dtype=np.float32).reshape(-1, 4)
+            # export exactly what the model saw (capped + padded batch)
+            raw = np.asarray(fbatch['points'][0])[
+                np.asarray(fbatch['points_mask'][0])]
             boxes = np.asarray(record['boxes_lidar'], np.float32).reshape(-1, 7)
             scores = np.asarray(record['scores'], np.float32)
             labels = preds['final_labels'][0][v]

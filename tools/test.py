@@ -15,6 +15,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from glenet_tpu.utils import jax_cache
+
+jax_cache.enable()
+
 
 def parse_config():
     parser = argparse.ArgumentParser()

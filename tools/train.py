@@ -18,6 +18,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from glenet_tpu.utils import jax_cache
+
+jax_cache.enable()
+
 
 def parse_config():
     parser = argparse.ArgumentParser()
@@ -163,12 +167,14 @@ def main():
             ckpt_dir, epoch, args.max_ckpt_save_num)
 
     writer.close()
-    if args.bn_refresh and rank == 0:
+    if args.bn_refresh:
         from glenet_tpu.train.bn_refresh import refresh_detector_stats
         refresh_batches = []
+        # every rank iterates the SAME unsharded stream: the refresh is
+        # deterministic given identical batches, so all processes end up
+        # with identical stats (eval_after_train runs on every rank)
         for batch in dataset.iter_batches(batch_size, seed=num_epochs,
-                                          process_rank=rank,
-                                          process_count=world):
+                                          process_rank=0, process_count=1):
             if len(refresh_batches) >= args.bn_refresh:
                 break
             refresh_batches.append(
@@ -180,9 +186,11 @@ def main():
                        'batch_stats': host_ts.batch_stats},
             refresh_batches)
         ts = ts.replace(batch_stats=variables['batch_stats'])
-        ckpt_lib.save_checkpoint(
-            ckpt_lib.checkpoint_state(jax.device_get(ts), num_epochs - 1, it),
-            ckpt_dir, num_epochs - 1, args.max_ckpt_save_num)
+        if rank == 0:
+            ckpt_lib.save_checkpoint(
+                ckpt_lib.checkpoint_state(jax.device_get(ts), num_epochs - 1,
+                                          it),
+                ckpt_dir, num_epochs - 1, args.max_ckpt_save_num)
         logger.info(f'BN stats refreshed over {len(refresh_batches)} batches')
     if args.eval_after_train:
         from tools.test import eval_checkpoint
