@@ -4,9 +4,10 @@
 # /tmp/stop_queue so the queue can be halted (e.g. ahead of a driver
 # bench run — two clients on the one chip would contend).
 #
-# Convergence reruns validate the asymmetric-car + camera-FOV harness
-# fixes (front-face density + rear cabin roof make heading direction
-# geometrically learnable; FOV placement makes bbox/aos AP meaningful).
+# Round-2 second-half additions: the remaining model-family convergence
+# tracks (pv_rcnn_plusplus exercises the VectorPool aggregation path,
+# pointrcnn_iou the PointRCNN+IoU-label head, voxel_rcnn_car the plain
+# VoxelRCNN head without KL), plus the PartA2_free rerun.
 set -x
 cd /root/repo
 
@@ -16,19 +17,24 @@ guard() { [ -f /tmp/stop_queue ] && exit 0 || true; }
 guard
 timeout 2400 python bench.py > /tmp/bench_chipwarm.log 2>&1
 
-# 2. KITTI GLENet-S rerun on the fixed harness (~40-80 min)
+# 2. PV-RCNN++ (VectorPool path, Waymo grid) — never run on chip
 guard
-timeout 5400 python tools/convergence_ap.py 700 1e-3 \
-    configs/kitti_models/GLENet_S.yaml > /tmp/conv_s3.log 2>&1
+timeout 10800 python tools/convergence_waymo.py 700 1e-3 \
+    configs/waymo_models/pv_rcnn_plusplus.yaml > /tmp/conv_pvpp.log 2>&1
 
-# 3. PartA2_free at 1500 steps, 16k eval voxel budget
+# 3. PointRCNN-IoU (KITTI)
 guard
-timeout 9000 python tools/convergence_ap.py 1500 1e-3 \
+timeout 7200 python tools/convergence_ap.py 700 1e-3 \
+    configs/kitti_models/pointrcnn_iou.yaml > /tmp/conv_prcnn_iou.log 2>&1
+
+# 4. Voxel R-CNN (Car) — plain head, flagship topology without KL
+guard
+timeout 7200 python tools/convergence_ap.py 700 1e-3 \
+    configs/kitti_models/voxel_rcnn_car.yaml > /tmp/conv_vrcnn_car.log 2>&1
+
+# 5. PartA2_free at 1500 steps, 16k eval voxel budget
+guard
+timeout 10800 python tools/convergence_ap.py 1500 1e-3 \
     configs/kitti_models/PartA2_free.yaml 16000 > /tmp/conv_pa2free2.log 2>&1
-
-# 4. Waymo-scale GLENet-S (150 m grid)
-guard
-timeout 7200 python tools/convergence_waymo.py 700 1e-3 \
-    configs/waymo_models/GLENet_S.yaml > /tmp/conv_gsw2.log 2>&1
 
 echo QUEUE_DONE

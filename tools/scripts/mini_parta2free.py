@@ -88,6 +88,40 @@ def main():
         return {**v, 'params': p, **mut}, o2, loss, mets
 
     predict = jax.jit(lambda v, b: det.predict(v, b))
+    fwd_eval = jax.jit(lambda v, b: det.net_eval.apply(
+        v, b['points'], b['points_mask'], train=False))
+
+    def stage_probe(v):
+        """Best IoU vs each gt at all three stages: per-point decoded
+        boxes, NMS proposals (rois), final rcnn-refined detections."""
+        out = fwd_eval(v, batch)
+        part = jax.device_get(out['part_head'])
+        prop = jax.device_get(out['proposals'])
+        pred = jax.device_get(predict(v, batch))
+        from glenet_tpu.utils import box_coder as bc_lib
+        ph_cfg = cfg.MODEL.POINT_HEAD
+        coder = bc_lib.build_box_coder(
+            ph_cfg.TARGET_CONFIG.BOX_CODER,
+            **dict(ph_cfg.TARGET_CONFIG.get('BOX_CODER_CONFIG', {})))
+        lab = np.argmax(part['point_cls_preds'], -1) + 1
+        ptb = np.asarray(jax.vmap(coder.decode)(
+            jnp.asarray(part['point_box_preds']),
+            jnp.asarray(part['point_coords']), jnp.asarray(lab)))
+        for s in range(2):
+            gtb = np.asarray(gt[s][np.asarray(gm[s])])[:, :7]
+            pm = part['point_mask'][s]
+            for name, bx, valid in (
+                    ('ptbox', ptb[s], pm),
+                    ('roi', prop['rois'][s], prop['roi_valid'][s]),
+                    ('final', pred['final_boxes'][s],
+                     np.asarray(pred['final_scores'][s]) > 0.05)):
+                ious = np.asarray(iou3d.boxes_iou3d(
+                    jnp.asarray(gtb), jnp.asarray(bx)))
+                ious = np.where(np.asarray(valid)[None, :], ious, 0.0)
+                best = ious.max(axis=1)
+                print(f'   s{s} {name}: best-IoU/gt='
+                      f'{np.round(best, 2).tolist()} '
+                      f'(h={np.round(gtb[:, 6], 2).tolist()})', flush=True)
 
     def probe(v):
         pred = predict(v, batch)
@@ -118,6 +152,8 @@ def main():
             print(f'step {i}: loss={float(loss):.3f} {m}\n'
                   f'   recall@0.5={rec} matched_scores={ms}',
                   flush=True)
+            if i % 100 == 0 or i == n_steps - 1:
+                stage_probe(variables)
     print('total', round(time.time() - t0, 1), 's')
 
 
