@@ -188,3 +188,35 @@ def test_caddn_trains_and_predicts(rng):
         {'params': params, **state}, batch)
     assert preds['final_boxes'].shape == (2, 16, 7)
     assert np.isfinite(np.asarray(preds['final_boxes'])).all()
+
+
+def test_caddn_harness_render_geometry():
+    """tools/convergence_caddn.py synthetic camera: the z-buffered depth
+    map must agree with gt car distances at the projected gt pixels, and
+    gt_boxes2d must tightly contain the projected box centers."""
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / 'tools'))
+    import convergence_ap as ca
+    import convergence_caddn as cc
+
+    points, gt, gm = ca.make_scene(3)
+    gm = gm & (gt[:, 0] < 42.0)
+    image, depth_ds, boxes2d = cc.render_scene(points, gt, gm)
+    assert image.shape == (cc.H, cc.W, 3)
+    assert depth_ds.shape == (cc.H // cc.DS, cc.W // cc.DS)
+    # lidar covers the ground plane: a sizeable share of downsampled
+    # pixels below the horizon row (CV) see a return (sparse, like real
+    # KITTI depth maps — 20k points over a 45-deg FOV)
+    below = depth_ds[int(cc.CV / cc.DS) + 2:]
+    assert (below > 0).mean() > 0.2
+
+    u, v, d = cc.project(gt[gm][:, :3])
+    for i in range(gm.sum()):
+        x0, y0, x1, y1 = boxes2d[np.flatnonzero(gm)[i]]
+        assert x0 <= u[i] <= x1 and y0 <= v[i] <= y1, (i, boxes2d)
+        # depth at the car's pixel ~ the car's camera depth (its surface
+        # faces the camera, so the z-buffer is a bit nearer)
+        dd = depth_ds[int(v[i] / cc.DS), int(u[i] / cc.DS)]
+        if dd > 0:
+            assert d[i] - 4.0 < dd < d[i] + 1.0, (dd, d[i])

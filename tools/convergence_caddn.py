@@ -1,0 +1,223 @@
+"""Accuracy-convergence evidence for the camera-only CaDDN path: overfit
+the full CaDDN config (ImageVFE: DDN depth distribution -> frustum ->
+voxel -> BEV collapse -> anchor head) on synthetic camera scenes on the
+real TPU chip, then score with the official KITTI evaluator.
+
+Scenes are the KITTI-scale synthetic car scenes of tools/convergence_ap.py
+rendered through a synthetic pinhole camera: the RGB channels carry a
+z-buffered range image + occupancy + point height (a monocular cue the
+DDNLite can actually learn at overfit scale), the depth-map target is the
+lidar z-buffer at stride 4 (reference downsample_depth_map semantics,
+pcdet data_processor.py downsample_depth_map), and gt_boxes2d are the
+projected 3D-corner bounds (reference kitti_dataset GET_ITEM_LIST
+"gt_boxes2d").
+
+The harness image is 192x640 (full KITTI 375x1242 frustum features do not
+fit a single v5e at batch 2); camera intrinsics are scaled to match, so
+all geometry (frustum->voxel sampling, image bbox AP) stays exact.
+
+Usage: python tools/convergence_caddn.py [n_steps] [peak_lr]
+Merges a 'CaDDN' entry into CONVERGENCE_AP.json.
+"""
+import json
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+import numpy as np
+
+from convergence_ap import (car_surface_points, make_scene, merge_entry,
+                            run_overfit, to_annos)
+
+N_SCENES = 16
+BATCH = 2
+MAX_POINTS = 20000
+N_GT = 8
+H, W = 192, 640
+FU = 320.0            # focal (px); horizontal half-FOV = atan(320/320) = 45 deg
+CU, CV = W / 2.0, 48.0  # horizon above center: keeps ground rows in frame
+DS = 4                # depth-map downsample factor (reference: 4)
+
+# lidar (x fwd, y left, z up) -> camera (x right, y down, z fwd)
+L2C = np.array([[0., -1., 0., 0.],
+                [0., 0., -1., 0.],
+                [1., 0., 0., 0.],
+                [0., 0., 0., 1.]], np.float32)
+C2I = np.array([[FU, 0., CU, 0.],
+                [0., FU, CV, 0.],
+                [0., 0., 1., 0.]], np.float32)
+CALIB = {
+    'P2': C2I.astype(np.float32),
+    'P3': C2I.astype(np.float32),
+    'R0': np.eye(3, dtype=np.float32),
+    'Tr_velo2cam': L2C[:3].astype(np.float32),
+}
+
+
+def project(xyz):
+    """lidar xyz (N, 3) -> (u, v, depth) pixel coords."""
+    cam = xyz @ L2C[:3, :3].T + L2C[:3, 3]
+    d = cam[:, 2]
+    u = FU * cam[:, 0] / np.clip(d, 1e-3, None) + CU
+    v = FU * cam[:, 1] / np.clip(d, 1e-3, None) + CV
+    return u, v, d
+
+
+def zbuffer(u, v, d, h, w):
+    """Min-depth z-buffer on an (h, w) grid; 0 where no point projects."""
+    ui = np.floor(u).astype(np.int64)
+    vi = np.floor(v).astype(np.int64)
+    ok = (d > 1e-3) & (ui >= 0) & (ui < w) & (vi >= 0) & (vi < h)
+    buf = np.full(h * w, np.inf, np.float32)
+    np.minimum.at(buf, vi[ok] * w + ui[ok], d[ok].astype(np.float32))
+    buf[~np.isfinite(buf)] = 0.0
+    return buf.reshape(h, w)
+
+
+def render_scene(points, gt, gt_mask):
+    """(image (H, W, 3), depth_map (H/DS, W/DS), boxes2d (N_GT, 4))."""
+    from glenet_tpu.utils import box_utils
+
+    xyz = points[:, :3]
+    u, v, d = project(xyz)
+    depth_full = zbuffer(u, v, d, H, W)
+    depth_ds = zbuffer(u / DS, v / DS, d, H // DS, W // DS)
+
+    # height channel: max point z per pixel (same splat)
+    ui = np.floor(u).astype(np.int64)
+    vi = np.floor(v).astype(np.int64)
+    ok = (d > 1e-3) & (ui >= 0) & (ui < W) & (vi >= 0) & (vi < H)
+    hbuf = np.full(H * W, -10.0, np.float32)
+    np.maximum.at(hbuf, vi[ok] * W + ui[ok], xyz[ok, 2].astype(np.float32))
+    hbuf[hbuf < -9.0] = 0.0
+    image = np.stack([
+        np.clip(depth_full / 46.8, 0, 1),
+        (depth_full > 0).astype(np.float32),
+        np.clip((hbuf.reshape(H, W) + 3.0) / 4.0, 0, 1),
+    ], axis=-1).astype(np.float32)
+
+    boxes2d = np.zeros((N_GT, 4), np.float32)
+    for g in range(N_GT):
+        if not gt_mask[g]:
+            continue
+        corners = box_utils.boxes_to_corners_3d(gt[g:g + 1, :7])[0]
+        cu_, cv_, cd = project(np.asarray(corners))
+        if (cd <= 1e-3).any():
+            continue
+        boxes2d[g] = [np.clip(cu_.min(), 0, W - 1),
+                      np.clip(cv_.min(), 0, H - 1),
+                      np.clip(cu_.max(), 0, W - 1),
+                      np.clip(cv_.max(), 0, H - 1)]
+    return image, depth_ds, boxes2d
+
+
+def make_camera_batches(scenes):
+    import jax.numpy as jnp
+    batches = []
+    for bi in range(0, N_SCENES, BATCH):
+        imgs, depths, b2d, gts, gms = [], [], [], [], []
+        for points, gt, gm in scenes[bi:bi + BATCH]:
+            img, dep, bx = render_scene(points, gt, gm)
+            imgs.append(img)
+            depths.append(dep)
+            b2d.append(bx)
+            gts.append(gt)
+            gms.append(gm)
+        gts = np.stack(gts)
+        gms = np.stack(gms)
+        batches.append({
+            'points': jnp.zeros((BATCH, 1, 4), jnp.float32),
+            'points_mask': jnp.zeros((BATCH, 1), bool),
+            'images': jnp.asarray(np.stack(imgs)),
+            'trans_lidar_to_cam': jnp.asarray(np.tile(L2C, (BATCH, 1, 1))),
+            'trans_cam_to_img': jnp.asarray(np.tile(C2I, (BATCH, 1, 1))),
+            'image_shape': jnp.asarray(np.tile([H, W], (BATCH, 1))),
+            'gt_boxes': jnp.asarray(gts),
+            'gt_mask': jnp.asarray(gms),
+            'gt_uncertainty': jnp.ones((BATCH, N_GT, 7), jnp.float32),
+            'depth_maps': jnp.asarray(np.stack(depths)),
+            'gt_boxes2d': jnp.asarray(np.stack(b2d)),
+            'gt_boxes2d_mask': jnp.asarray(gms),
+        })
+    return batches
+
+
+def main():
+    import os
+
+    import jax
+    if os.environ.get('JAX_PLATFORMS') == 'cpu':
+        # the axon TPU plugin ignores the env var; honor it explicitly so
+        # CPU dry-runs work with the tunnel down
+        jax.config.update('jax_platforms', 'cpu')
+
+    from glenet_tpu.config import cfg_from_yaml_file
+    from glenet_tpu.eval import kitti_eval
+    from glenet_tpu.utils import jax_cache
+    from glenet_tpu.utils.calibration_kitti import Calibration
+
+    jax_cache.enable()
+    from glenet_tpu.models.detectors import build_detector
+
+    n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 700
+    peak_lr = float(sys.argv[2]) if len(sys.argv) > 2 else 1e-3
+    cfg = cfg_from_yaml_file(str(ROOT / 'configs/kitti_models/CaDDN.yaml'))
+    cfg.MODEL.POST_PROCESSING.POST_SCORE_THRESH = 0.0
+    cfg.MODEL.POST_PROCESSING.SCORE_THRESH = 0.0
+    det = build_detector(cfg)
+
+    scenes = [make_scene(s) for s in range(N_SCENES)]
+    # drop gts beyond the camera grid's depth range (their points stay in
+    # the scene as clutter, like out-of-range objects in real KITTI)
+    for pts, gt, gm in scenes:
+        gm &= gt[:, 0] < 42.0
+    batches = make_camera_batches(scenes)
+    params, mstate, final_loss, t0 = run_overfit(det, batches, n_steps,
+                                                 peak_lr)
+
+    predict = jax.jit(lambda v, b: det.predict(v, b))
+    calib = Calibration(CALIB)
+    gt_annos, dt_annos = [], []
+    for bi, b in enumerate(batches):
+        preds = predict({'params': params, **mstate}, b)
+        fb = np.asarray(preds['final_boxes'])
+        fs = np.asarray(preds['final_scores'])
+        fv = np.asarray(preds['final_valid'])
+        if bi == 0:
+            print(f'diag batch0: kept={fv.sum(1)}, '
+                  f'score_max={fs.max(1).round(3)}', flush=True)
+        for k in range(fb.shape[0]):
+            scene_idx = bi * BATCH + k
+            gt, gm = scenes[scene_idx][1], scenes[scene_idx][2]
+            gt_annos.append(to_annos(gt[gm][:, :7], None, calib,
+                                     image_shape=(H, W)))
+            dt_annos.append(to_annos(fb[k][fv[k]], fs[k][fv[k]], calib,
+                                     image_shape=(H, W)))
+
+    result_str, ret = kitti_eval.get_official_eval_result(
+        gt_annos, dt_annos, ['Car'])
+    print(result_str)
+
+    from flax import serialization
+    dump = Path('/tmp/conv_CaDDN')
+    dump.mkdir(exist_ok=True)
+    (dump / 'variables.msgpack').write_bytes(
+        serialization.to_bytes({'params': params, **mstate}))
+    out = {
+        'model': 'CaDDN (full config, synthetic camera overfit)',
+        'n_scenes': N_SCENES, 'n_steps': n_steps,
+        'final_loss': final_loss,
+        'Car_3d_moderate_R40': ret.get('Car_3d/moderate_R40'),
+        'Car_3d_moderate_R11': ret.get('Car_3d/moderate_R11'),
+        'Car_bev_moderate_R40': ret.get('Car_bev/moderate_R40'),
+        'wall_clock_s': round(time.time() - t0, 1),
+    }
+    merge_entry('CaDDN', out)
+    print(json.dumps(out))
+
+
+if __name__ == '__main__':
+    main()
