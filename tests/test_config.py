@@ -59,3 +59,19 @@ def test_cfg_from_list_rejects_unknown():
     cfg = Cfg({'A': {'B': 1}})
     with pytest.raises((AssertionError, KeyError)):
         cfg_from_list(['A.NOPE', '2'], cfg)
+
+
+def test_all_model_configs_build_detectors():
+    """Zoo-wide net: every shipped model config must construct a detector
+    (config schema -> module wiring; shape/numeric coverage lives in the
+    per-family e2e tests and convergence harnesses)."""
+    from pathlib import Path
+
+    from glenet_tpu.models.detectors import build_detector
+
+    root = Path(__file__).resolve().parent.parent
+    cfgs = sorted((root / 'configs').glob('*_models/*.yaml'))
+    assert len(cfgs) >= 29, [c.name for c in cfgs]
+    for f in cfgs:
+        det = build_detector(cfg_from_yaml_file(str(f)))
+        assert det.net is not None, f
