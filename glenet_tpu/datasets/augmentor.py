@@ -206,6 +206,37 @@ class DataBaseSampler:
 # world-level augmentations
 # ---------------------------------------------------------------------------
 
+def random_image_flip_horizontal(data_dict, rng):
+    """CaDDN camera-space horizontal flip (reference augmentor_utils.py:
+    99-137 + data_augmentor.py:82-99): flip image + depth map left-right,
+    mirror the 3D box centroids in image space through the same calib
+    (cu ~ W/2 on KITTI) and negate headings.  Divergence: the reference
+    reads gt_boxes2d but forgets to mirror it — we mirror it too so the
+    depth-loss fg mask stays aligned with the flipped image."""
+    if rng.rand() < 0.5:
+        return data_dict
+    image = data_dict['images']
+    depth = data_dict['depth_maps']
+    calib = data_dict['calib']
+    w = image.shape[1]
+    data_dict['images'] = np.ascontiguousarray(np.fliplr(image))
+    data_dict['depth_maps'] = np.ascontiguousarray(np.fliplr(depth))
+    gt = data_dict['gt_boxes'].copy()
+    if len(gt):
+        img_pts, img_depth = calib.lidar_to_img(gt[:, :3])
+        img_pts[:, 0] = w - img_pts[:, 0]
+        pts_rect = calib.img_to_rect(img_pts[:, 0], img_pts[:, 1], img_depth)
+        gt[:, :3] = calib.rect_to_lidar(pts_rect)
+        gt[:, 6] = -gt[:, 6]
+        data_dict['gt_boxes'] = gt
+    b2d = data_dict.get('gt_boxes2d')
+    if b2d is not None and len(b2d):
+        b2d = b2d.copy()
+        b2d[:, [0, 2]] = w - b2d[:, [2, 0]]
+        data_dict['gt_boxes2d'] = b2d
+    return data_dict
+
+
 def random_world_flip(data_dict, along_axis_list, rng):
     gt_boxes = data_dict['gt_boxes']
     points = data_dict['points']
@@ -271,6 +302,10 @@ class DataAugmentor:
                 sampler = DataBaseSampler(root_path, cfg, class_names,
                                           logger, rng=self.rng)
                 self.queue.append(sampler)
+            elif cfg.NAME == 'random_image_flip':
+                assert list(cfg.ALONG_AXIS_LIST) == ['horizontal'], cfg
+                self.queue.append(
+                    lambda d: random_image_flip_horizontal(d, self.rng))
             elif cfg.NAME == 'random_world_flip':
                 axes = cfg.ALONG_AXIS_LIST
                 self.queue.append(

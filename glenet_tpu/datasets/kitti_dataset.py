@@ -28,6 +28,16 @@ from ..utils import box_utils, calibration_kitti, common, object3d_kitti
 from .augmentor import DataAugmentor
 
 
+def calib_to_matricies(calib):
+    """Calibration -> (trans_lidar_to_cam (4, 4), trans_cam_to_img (3, 4))
+    (reference kitti_utils.calib_to_matricies: V2R = R0_4x4 @ V2C_4x4)."""
+    v2c = np.vstack([calib.V2C,
+                     np.array([0, 0, 0, 1], np.float32)])
+    r0 = np.eye(4, dtype=np.float32)
+    r0[:3, :3] = calib.R0
+    return (r0 @ v2c).astype(np.float32), calib.P2.astype(np.float32)
+
+
 class KittiDataset:
     def __init__(self, dataset_cfg, class_names, training=True,
                  root_path=None, logger=None, seed=None):
@@ -72,6 +82,17 @@ class KittiDataset:
             int(sp.NUM_POINTS['train' if training else 'test'])
             if sp is not None else -1)
 
+        # camera items (CaDDN): reference kitti_dataset GET_ITEM_LIST
+        self.get_item_list = list(dataset_cfg.get('GET_ITEM_LIST',
+                                                  ['points']))
+        dd = find_processor(dataset_cfg, 'downsample_depth_map')
+        self.depth_ds_factor = (int(dd.DOWNSAMPLE_FACTOR)
+                                if dd is not None else 1)
+        # static image budget (KITTI images vary 370-376 x 1224-1242);
+        # divisible by the DDN stride so depth logits align
+        pad_to = dataset_cfg.get('IMAGE_PAD_TO', [376, 1248])
+        self.image_pad_to = (int(pad_to[0]), int(pad_to[1]))
+
         self.augmentor = None
         if training and dataset_cfg.get('DATA_AUGMENTOR', None) is not None:
             self.augmentor = DataAugmentor(
@@ -102,6 +123,22 @@ class KittiDataset:
         from ..cvae.dataset import get_road_plane
         return get_road_plane(str(plane_file))
 
+    def get_image(self, idx):
+        """RGB image_2 PNG as float32 in [0, 1] (reference
+        kitti_dataset.py get_image)."""
+        from PIL import Image
+        img_file = self.root_split_path / 'image_2' / f'{idx}.png'
+        with Image.open(img_file) as im:
+            return np.asarray(im.convert('RGB'), np.float32) / 255.0
+
+    def get_depth_map(self, idx):
+        """depth_2 PNG (uint16, metric depth * 256) -> float32 metres
+        (reference kitti_dataset.py get_depth_map)."""
+        from PIL import Image
+        depth_file = self.root_split_path / 'depth_2' / f'{idx}.png'
+        with Image.open(depth_file) as im:
+            return np.asarray(im, np.float32) / 256.0
+
     def get_image_shape(self, idx):
         img_file = self.root_split_path / 'image_2' / f'{idx}.png'
         if img_file.exists():
@@ -112,6 +149,23 @@ class KittiDataset:
             except ImportError:
                 pass
         return np.array([375, 1242], np.int32)
+
+    def _load_camera_items(self, data_dict, info, sample_idx, calib):
+        """Attach GET_ITEM_LIST camera items (reference kitti_dataset.py
+        __getitem__ images/depth_maps/calib_matricies/gt_boxes2d)."""
+        if 'images' in self.get_item_list:
+            data_dict['images'] = self.get_image(sample_idx)
+        if 'depth_maps' in self.get_item_list:
+            data_dict['depth_maps'] = self.get_depth_map(sample_idx)
+        if 'calib_matricies' in self.get_item_list:
+            (data_dict['trans_lidar_to_cam'],
+             data_dict['trans_cam_to_img']) = calib_to_matricies(calib)
+        if 'gt_boxes2d' in self.get_item_list and 'annos' in info:
+            annos = info['annos']
+            mask = annos['name'] != 'DontCare'
+            data_dict['gt_boxes2d'] = np.asarray(
+                annos['bbox'], np.float32)[mask]
+        return data_dict
 
     @staticmethod
     def get_fov_flag(pts_rect, img_shape, calib):
@@ -163,6 +217,8 @@ class KittiDataset:
             if road_plane is not None:
                 data_dict['road_plane'] = road_plane
 
+        data_dict = self._load_camera_items(data_dict, info, sample_idx,
+                                            calib)
         return self.prepare_data(data_dict)
 
     @staticmethod
@@ -180,6 +236,7 @@ class KittiDataset:
                 and 'gt_boxes' in data_dict:
             data_dict = self.augmentor(data_dict)
 
+        gt_b2d = data_dict.get('gt_boxes2d')
         if 'gt_boxes' in data_dict:
             keep = np.array([n in self.class_names
                              for n in data_dict['gt_names']], bool)
@@ -188,12 +245,19 @@ class KittiDataset:
             gt_unc = data_dict['gt_uncertainty'][keep] \
                 if 'gt_uncertainty' in data_dict \
                 else -np.ones((keep.sum(), 7), np.float32)
+            if gt_b2d is not None:
+                assert len(gt_b2d) == len(keep), (
+                    'gt_boxes2d misaligned with gt_boxes — camera configs '
+                    'must not use box-adding augmentations (gt_sampling)')
+                gt_b2d = gt_b2d[keep]
             # drop boxes outside range (train only, reference REMOVE_OUTSIDE)
             if self.training and len(gt_boxes):
                 inside = box_utils.mask_boxes_outside_range_numpy(
                     gt_boxes, self.pc_range, min_num_corners=1)
                 gt_boxes, gt_names, gt_unc = (
                     gt_boxes[inside], gt_names[inside], gt_unc[inside])
+                if gt_b2d is not None:
+                    gt_b2d = gt_b2d[inside]
             if self.training and len(gt_boxes) == 0 and retry < 3 \
                     and len(self.kitti_infos) > 1:
                 # reference self-healing: retry a random index (:162-164)
@@ -248,6 +312,38 @@ class KittiDataset:
         }
         if 'calib' in data_dict:
             out['calib'] = data_dict['calib']
+
+        # ---- camera items (CaDDN): static image budget + stride-aligned
+        # depth target + feature-map-scale fg boxes --------------------------
+        if 'images' in data_dict:
+            img = data_dict['images']
+            ph, pw = self.image_pad_to
+            assert img.shape[0] <= ph and img.shape[1] <= pw, (
+                img.shape, self.image_pad_to)
+            img_pad = np.zeros((ph, pw, 3), np.float32)
+            img_pad[:img.shape[0], :img.shape[1]] = img
+            out['images'] = img_pad
+            out['image_shape'] = np.array(img.shape[:2], np.int32)
+        if 'depth_maps' in data_dict:
+            f = self.depth_ds_factor
+            ph, pw = self.image_pad_to
+            dm = data_dict['depth_maps']
+            dm_pad = np.zeros((ph, pw), np.float32)
+            dm_pad[:dm.shape[0], :dm.shape[1]] = dm
+            # block-mean downsample (reference downscale_local_mean,
+            # data_processor.py:194-203; we pad to the static budget first
+            # so the target aligns with the padded image's depth logits)
+            out['depth_maps'] = dm_pad.reshape(
+                ph // f, f, pw // f, f).mean(axis=(1, 3))
+        if 'trans_lidar_to_cam' in data_dict:
+            out['trans_lidar_to_cam'] = data_dict['trans_lidar_to_cam']
+            out['trans_cam_to_img'] = data_dict['trans_cam_to_img']
+        if gt_b2d is not None:
+            # ddn_loss consumes fg boxes at feature-map (1/DOWNSAMPLE) scale
+            b2d_pad = np.zeros((self.max_gt, 4), np.float32)
+            b2d_pad[:g] = gt_b2d[:g] / float(self.depth_ds_factor)
+            out['gt_boxes2d'] = b2d_pad
+            out['gt_boxes2d_mask'] = gt_mask
         return out
 
     def _raw_item(self, index):
@@ -269,7 +365,7 @@ class KittiDataset:
                     np.float32),
                 'gt_boxes_mask': np.ones(len(gt_names), bool),
             })
-        return d
+        return self._load_camera_items(d, info, sample_idx, calib)
 
     @staticmethod
     def collate_batch(items):
@@ -277,6 +373,11 @@ class KittiDataset:
         for key in ('points', 'points_mask', 'gt_boxes', 'gt_mask',
                     'gt_uncertainty'):
             batch[key] = np.stack([it[key] for it in items])
+        for key in ('images', 'depth_maps', 'trans_lidar_to_cam',
+                    'trans_cam_to_img', 'image_shape', 'gt_boxes2d',
+                    'gt_boxes2d_mask'):
+            if key in items[0]:
+                batch[key] = np.stack([it[key] for it in items])
         batch['frame_id'] = [it['frame_id'] for it in items]
         if 'calib' in items[0]:
             batch['calib'] = [it['calib'] for it in items]

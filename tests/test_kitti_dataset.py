@@ -259,3 +259,67 @@ def test_sample_points_near_far():
     out2 = sample_points_near_far(pts, 150, rng)
     assert out2.shape == (150, 4)             # oversample with repeats
     assert sample_points_near_far(pts, -1, rng).shape == pts.shape
+
+
+def test_camera_items_caddn_path(kitti_root):
+    """GET_ITEM_LIST camera support (CaDDN): images/depth/calib matrices/
+    gt_boxes2d flow through prepare_data filters, static padding, and
+    collate (reference kitti_dataset.py __getitem__ camera items)."""
+    from PIL import Image
+
+    h, w = 92, 310                        # odd sizes: exercise the pad path
+    rng = np.random.RandomState(3)
+    for png_dir in ('image_2', 'depth_2'):
+        (kitti_root / 'training' / png_dir).mkdir(exist_ok=True)
+    for f in range(N_FRAMES):
+        fid = f'{f:06d}'
+        img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        Image.fromarray(img).save(
+            kitti_root / 'training/image_2' / f'{fid}.png')
+        depth = (rng.uniform(2, 40, (h, w)) * 256).astype(np.uint32)
+        Image.fromarray(depth.astype(np.int32), mode='I').save(
+            kitti_root / 'training/depth_2' / f'{fid}.png')
+
+    cfg = copy.deepcopy(DATASET_CFG)
+    cfg.GET_ITEM_LIST = ['images', 'depth_maps', 'calib_matricies',
+                         'gt_boxes2d']
+    cfg.IMAGE_PAD_TO = [96, 312]
+    cfg.DATA_PROCESSOR.append(
+        Cfg({'NAME': 'downsample_depth_map', 'DOWNSAMPLE_FACTOR': 4}))
+    cfg.DATA_AUGMENTOR = Cfg({
+        'DISABLE_AUG_LIST': ['placeholder'],
+        'AUG_CONFIG_LIST': [
+            {'NAME': 'random_image_flip', 'ALONG_AXIS_LIST': ['horizontal']},
+        ]})
+    ds = KittiDataset(cfg, ['Car'], training=True, root_path=kitti_root,
+                      seed=0)
+    item = ds[0]
+    assert item['images'].shape == (96, 312, 3)
+    assert item['images'].dtype == np.float32
+    assert 0.0 <= item['images'].max() <= 1.0
+    assert item['depth_maps'].shape == (24, 78)
+    # padded rows diluted; interior block-means stay in metric range
+    assert 2.0 <= item['depth_maps'][:22, :76].min() \
+        and item['depth_maps'].max() <= 40.1
+    assert tuple(item['image_shape']) == (h, w)
+    assert item['trans_lidar_to_cam'].shape == (4, 4)
+    assert item['trans_cam_to_img'].shape == (3, 4)
+    # fg boxes at feature-map (1/4) scale: y coords (horizontal-flip
+    # invariant) must equal the raw anno bbox / 4 (the fixture labels
+    # project through the full-scale calib, so they can exceed the tiny
+    # test image — the scale contract is what matters here)
+    b2d = item['gt_boxes2d'][item['gt_boxes2d_mask']]
+    assert len(b2d) > 0
+    assert (b2d[:, 2] > b2d[:, 0]).all() and (b2d[:, 3] > b2d[:, 1]).all()
+    with open(kitti_root / 'kitti_infos_train.pkl', 'rb') as fh:
+        raw_bbox = pickle.load(fh)[0]["annos"]["bbox"]
+    np.testing.assert_allclose(np.sort(b2d[:, 1]),
+                               np.sort(raw_bbox[:, 1] / 4.0), rtol=1e-5)
+    np.testing.assert_allclose(np.sort(b2d[:, 3]),
+                               np.sort(raw_bbox[:, 3] / 4.0), rtol=1e-5)
+
+    batch = next(ds.iter_batches(batch_size=2, shuffle=False))
+    assert batch['images'].shape == (2, 96, 312, 3)
+    assert batch['depth_maps'].shape == (2, 24, 78)
+    assert batch['gt_boxes2d'].shape[0] == 2
+    assert batch['trans_lidar_to_cam'].shape == (2, 4, 4)
