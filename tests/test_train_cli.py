@@ -122,3 +122,74 @@ def test_train_and_eval_cli(tmp_path):
     assert (out_dir / 'eval').exists()
     results = list((out_dir / 'eval').rglob('result.pkl'))
     assert results, 'eval produced no result.pkl'
+
+
+def write_caddn_cfg(tmp_path, kitti_root):
+    """Tiny CaDDN config on the camera-equipped fixture tree."""
+    data_cfg = {k: v for k, v in DATASET_CFG.items()}
+    data_cfg['DATA_PATH'] = str(kitti_root)
+    data_cfg['MAX_POINTS_PER_SCENE'] = 4096
+    data_cfg['GET_ITEM_LIST'] = ['images', 'depth_maps', 'calib_matricies',
+                                 'gt_boxes2d']
+    data_cfg['IMAGE_PAD_TO'] = [96, 312]
+    data_cfg['POINT_CLOUD_RANGE'] = [2, -16, -3.0, 45.2, 16, 1.0]
+    data_cfg['DATA_PROCESSOR'] = [
+        {'NAME': 'calculate_grid_size', 'VOXEL_SIZE': [0.8, 0.8, 0.5]},
+        {'NAME': 'downsample_depth_map', 'DOWNSAMPLE_FACTOR': 4},
+    ]
+    data_cfg['DATA_AUGMENTOR'] = {
+        'DISABLE_AUG_LIST': ['placeholder'],
+        'AUG_CONFIG_LIST': [
+            {'NAME': 'random_image_flip', 'ALONG_AXIS_LIST': ['horizontal']}],
+    }
+    from test_caddn import make_caddn_cfg
+    model = make_caddn_cfg()['MODEL']
+    cfg = {
+        'CLASS_NAMES': ['Car'],
+        'DATA_CONFIG': data_cfg,
+        'MODEL': model,
+        'OPTIMIZATION': {
+            'BATCH_SIZE_PER_GPU': 1, 'NUM_EPOCHS': 1,
+            'OPTIMIZER': 'adam_onecycle', 'LR': 0.001, 'WEIGHT_DECAY': 0.01,
+            'MOMENTUM': 0.9, 'MOMS': [0.95, 0.85], 'PCT_START': 0.4,
+            'DIV_FACTOR': 10, 'GRAD_NORM_CLIP': 10,
+        },
+    }
+    import json
+    cfg = json.loads(json.dumps(cfg))
+    path = tmp_path / 'tiny_caddn.yaml'
+    path.write_text(yaml.safe_dump(cfg))
+    return path
+
+
+@pytest.mark.slow
+def test_caddn_train_cli_camera_path(tmp_path):
+    """tools/train.py drives the camera data path (images/depth/matrices
+    through iter_batches -> shard_batch -> CaDDN loss) end-to-end."""
+    from PIL import Image
+
+    rng = np.random.RandomState(5)
+    kitti_root = make_kitti_tree(tmp_path, rng)
+    from glenet_tpu.datasets.kitti_dataset import create_kitti_infos
+    create_kitti_infos(DATASET_CFG, ['Car'], kitti_root, kitti_root)
+    h, w = 92, 310
+    for d in ('image_2', 'depth_2'):
+        (kitti_root / 'training' / d).mkdir(exist_ok=True)
+    from test_kitti_dataset import N_FRAMES
+    for f in range(N_FRAMES):
+        fid = f'{f:06d}'
+        Image.fromarray((rng.rand(h, w, 3) * 255).astype(np.uint8)).save(
+            kitti_root / 'training/image_2' / f'{fid}.png')
+        Image.fromarray((rng.uniform(2, 40, (h, w)) * 256).astype(np.int32),
+                        mode='I').save(
+            kitti_root / 'training/depth_2' / f'{fid}.png')
+
+    cfg_path = write_caddn_cfg(tmp_path, kitti_root)
+    out_dir = tmp_path / 'out_caddn'
+    from tools.train import main as train_main
+    _run_main(train_main, [
+        'train.py', '--cfg_file', str(cfg_path),
+        '--output_dir', str(out_dir), '--epochs', '1',
+        '--max_steps_per_epoch', '2'])
+    ckpts = list((out_dir / 'ckpt').glob('checkpoint_epoch_*.msgpack'))
+    assert len(ckpts) == 1

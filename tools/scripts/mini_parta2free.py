@@ -15,6 +15,9 @@ jax.config.update('jax_platforms', 'cpu')
 import numpy as np
 import jax.numpy as jnp
 
+from glenet_tpu.utils import jax_cache
+jax_cache.enable()
+
 sys.path.insert(0, str(ROOT / 'tools'))
 from convergence_ap import car_surface_points
 
