@@ -199,3 +199,92 @@ def merge_into(variables, path, params_sub, stats_sub):
         out.setdefault('batch_stats', {})
         set_path(out['batch_stats'], path, stats_sub)
     return out
+
+
+# ---------------------------------------------------------------------------
+# full-model conversion (SECOND family)
+# ---------------------------------------------------------------------------
+
+def convert_voxel_backbone_8x(sd, prefix='backbone_3d.'):
+    """Reference VoxelBackBone8x state_dict -> our module subtree
+    (spconv_backbone.py:69-127: conv_input + conv1 (1 subm block) +
+    conv2..4 (strided + 2 subm blocks) + conv_out z-compression; keys
+    conv{L}.{block}.{0=conv,1=bn} after Sequential nesting)."""
+    def unit(conv_key, bn_key):
+        bn_p, bn_s = t2f_bn(sd, bn_key)
+        return ({'kernel': t2f_spconv(sd[conv_key]),
+                 'MaskedBatchNorm_0': bn_p},
+                {'MaskedBatchNorm_0': bn_s})
+
+    mapping = {
+        'conv_input': ('conv_input.0.weight', 'conv_input.1'),
+        'conv1_0': ('conv1.0.0.weight', 'conv1.0.1'),
+        'conv_out': ('conv_out.0.weight', 'conv_out.1'),
+    }
+    for lvl in (2, 3, 4):
+        mapping[f'conv{lvl}_down'] = (f'conv{lvl}.0.0.weight',
+                                      f'conv{lvl}.0.1')
+        mapping[f'conv{lvl}_0'] = (f'conv{lvl}.1.0.weight', f'conv{lvl}.1.1')
+        mapping[f'conv{lvl}_1'] = (f'conv{lvl}.2.0.weight', f'conv{lvl}.2.1')
+    params, stats = {}, {}
+    for ours, (ck, bk) in mapping.items():
+        params[ours], stats[ours] = unit(prefix + ck, prefix + bk)
+    return params, stats
+
+
+def convert_anchor_head(sd, prefix='dense_head.'):
+    """AnchorHeadSingle + KL-family variance branch (anchor_head_single.py
+    :17-39, anchor_head_kl_label.py:29-31 conv_box_std)."""
+    params, _ = convert_anchor_head_single(sd, prefix=prefix)
+    if f'{prefix}conv_box_std.weight' in sd:
+        params['conv_box_std'] = {
+            'kernel': t2f_conv(sd[f'{prefix}conv_box_std.weight']),
+            'bias': np.asarray(sd[f'{prefix}conv_box_std.bias'])}
+    return params, {}
+
+
+def convert_second_family(cfg, state_dict, variables):
+    """Full-model torch->flax conversion for the SECOND family
+    (SECONDNet / GLENet-S: MeanVFE + VoxelBackBone8x + HeightCompression +
+    BaseBEVBackbone + AnchorHead{Single,KL*}).
+
+    The GLENet-VR roi stack is intentionally NOT convertible: its RoI
+    pooling is the corner-aggregation TPU redesign whose parameters have
+    no reference counterpart (roi_heads.py docstring).
+
+    Returns (variables, report) where report lists converted leaf paths
+    and reference keys that were not consumed (buffers like global_step
+    and anchor tensors are expected leftovers)."""
+    sd = {k: v for k, v in state_dict.items()}
+    consumed = set()
+
+    class Tracking(dict):
+        def __getitem__(self, k):
+            consumed.add(k)
+            return sd[k]
+
+        def __contains__(self, k):
+            return k in sd
+
+    tsd = Tracking()
+    merged = variables
+    report = {'converted': []}
+
+    bb3d_p, bb3d_s = convert_voxel_backbone_8x(tsd)
+    merged = merge_into(merged, ('backbone_3d',), bb3d_p, bb3d_s)
+    report['converted'].append('backbone_3d')
+
+    layer_nums = list(cfg.MODEL.BACKBONE_2D.LAYER_NUMS)
+    bb2d_p, bb2d_s = convert_base_bev_backbone(
+        tsd, layer_nums, upsample=True, prefix='backbone_2d.')
+    merged = merge_into(merged, ('backbone_2d',), bb2d_p, bb2d_s)
+    report['converted'].append('backbone_2d')
+
+    dh_p, dh_s = convert_anchor_head(tsd)
+    merged = merge_into(merged, ('dense_head',), dh_p, dh_s)
+    report['converted'].append('dense_head')
+
+    report['unconsumed'] = sorted(
+        k for k in sd
+        if k not in consumed and 'num_batches_tracked' not in k)
+    return merged, report

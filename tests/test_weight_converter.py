@@ -184,3 +184,103 @@ def test_spconv_layout_roundtrip(rng):
     w2 = np.transpose(w1, (4, 0, 1, 2, 3))                   # spconv 2.x
     ours2 = wc.t2f_spconv(w2)
     np.testing.assert_allclose(ours1, ours2)
+
+
+def test_convert_second_family_full_model():
+    """Full-model mapping (convert_second_family) lands every converted
+    leaf on an existing GLENet-S variables leaf with a matching shape and
+    consumes the entire (synthetic, reference-shaped) state_dict.  The
+    reference's spconv modules cannot be instantiated here (no spconv
+    wheel), so reference-side key names/shapes are transcribed from
+    spconv_backbone.py:69-127 in spconv-2.x layout."""
+    import jax
+    import jax.numpy as jnp
+
+    from glenet_tpu.config import cfg_from_yaml_file
+    from glenet_tpu.models.detectors import build_detector
+
+    rng = np.random.RandomState(0)
+    sd = {}
+
+    def spc(name, o, i, k=(3, 3, 3)):
+        sd[f'{name}.weight'] = rng.randn(o, *k, i).astype(np.float32)
+
+    def bn(name, c):
+        sd[f'{name}.weight'] = rng.rand(c).astype(np.float32) + 0.5
+        sd[f'{name}.bias'] = rng.randn(c).astype(np.float32)
+        sd[f'{name}.running_mean'] = rng.randn(c).astype(np.float32)
+        sd[f'{name}.running_var'] = rng.rand(c).astype(np.float32) + 0.5
+        sd[f'{name}.num_batches_tracked'] = np.int64(100)
+
+    # backbone_3d (VoxelBackBone8x, in=4)
+    spc('backbone_3d.conv_input.0', 16, 4)
+    bn('backbone_3d.conv_input.1', 16)
+    spc('backbone_3d.conv1.0.0', 16, 16)
+    bn('backbone_3d.conv1.0.1', 16)
+    for lvl, (ci, co) in {2: (16, 32), 3: (32, 64), 4: (64, 64)}.items():
+        spc(f'backbone_3d.conv{lvl}.0.0', co, ci)
+        bn(f'backbone_3d.conv{lvl}.0.1', co)
+        for blk in (1, 2):
+            spc(f'backbone_3d.conv{lvl}.{blk}.0', co, co)
+            bn(f'backbone_3d.conv{lvl}.{blk}.1', co)
+    spc('backbone_3d.conv_out.0', 128, 64, k=(3, 1, 1))
+    bn('backbone_3d.conv_out.1', 128)
+
+    # backbone_2d (BaseBEVBackbone [5, 5], 256 -> 128/256, up 256+256)
+    def conv2d(name, o, i, k=3):
+        sd[f'{name}.weight'] = rng.randn(o, i, k, k).astype(np.float32)
+
+    chans = [(256, 128), (128, 256)]
+    for b, (ci, co) in enumerate(chans):
+        conv2d(f'backbone_2d.blocks.{b}.1', co, ci)
+        bn(f'backbone_2d.blocks.{b}.2', co)
+        for j in range(5):
+            conv2d(f'backbone_2d.blocks.{b}.{4 + 3 * j}', co, co)
+            bn(f'backbone_2d.blocks.{b}.{5 + 3 * j}', co)
+    # deblocks: ConvTranspose2d weight (I, O, kH, kW)
+    sd['backbone_2d.deblocks.0.0.weight'] = rng.randn(
+        128, 256, 1, 1).astype(np.float32)
+    bn('backbone_2d.deblocks.0.1', 256)
+    sd['backbone_2d.deblocks.1.0.weight'] = rng.randn(
+        256, 256, 2, 2).astype(np.float32)
+    bn('backbone_2d.deblocks.1.1', 256)
+
+    # dense head (AnchorHeadKLLabel: cls/box/dir + box_std)
+    for name, o in (('conv_cls', 2), ('conv_box', 14),
+                    ('conv_dir_cls', 4), ('conv_box_std', 14)):
+        sd[f'dense_head.{name}.weight'] = rng.randn(
+            o, 512, 1, 1).astype(np.float32)
+        sd[f'dense_head.{name}.bias'] = rng.randn(o).astype(np.float32)
+
+    cfg = cfg_from_yaml_file('configs/kitti_models/GLENet_S.yaml')
+    det = build_detector(cfg)
+    b, n = 1, 128
+    batch = {'points': jnp.zeros((b, n, 4)),
+             'points_mask': jnp.ones((b, n), bool),
+             'gt_boxes': jnp.zeros((b, 4, 8)),
+             'gt_mask': jnp.zeros((b, 4), bool),
+             'gt_uncertainty': jnp.ones((b, 4, 7))}
+    tree = jax.eval_shape(lambda r: det.init(r, batch),
+                          jax.random.PRNGKey(0))
+
+    variables = {'params': {}, 'batch_stats': {}}
+    merged, report = wc.convert_second_family(cfg, sd, variables)
+    assert report['unconsumed'] == [], report['unconsumed']
+    assert report['converted'] == ['backbone_3d', 'backbone_2d',
+                                   'dense_head']
+
+    def check(conv_tree, shape_tree, path=''):
+        n_checked = 0
+        for k, v in conv_tree.items():
+            assert k in shape_tree, f'{path}{k} not in model tree'
+            if isinstance(v, dict):
+                n_checked += check(v, shape_tree[k], f'{path}{k}/')
+            else:
+                assert tuple(np.shape(v)) == tuple(shape_tree[k].shape), \
+                    (f'{path}{k}', np.shape(v), shape_tree[k].shape)
+                n_checked += 1
+        return n_checked
+
+    n_p = check(merged['params'], tree['params'])
+    n_s = check(merged['batch_stats'], tree['batch_stats'])
+    assert n_p > 80 and n_s > 50, (n_p, n_s)
