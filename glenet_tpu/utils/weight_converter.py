@@ -243,6 +243,30 @@ def convert_anchor_head(sd, prefix='dense_head.'):
     return params, {}
 
 
+def _tracked(state_dict):
+    """Wrap a state_dict so key consumption is recorded (for the
+    conversion report's `unconsumed` list)."""
+    sd = {k: v for k, v in state_dict.items()}
+    consumed = set()
+
+    class Tracking(dict):
+        def __getitem__(self, k):
+            consumed.add(k)
+            return sd[k]
+
+        def __contains__(self, k):
+            return k in sd
+
+    return Tracking(), sd, consumed
+
+
+def _finish_report(report, sd, consumed):
+    report['unconsumed'] = sorted(
+        k for k in sd
+        if k not in consumed and 'num_batches_tracked' not in k)
+    return report
+
+
 def convert_second_family(cfg, state_dict, variables):
     """Full-model torch->flax conversion for the SECOND family
     (SECONDNet / GLENet-S: MeanVFE + VoxelBackBone8x + HeightCompression +
@@ -255,18 +279,7 @@ def convert_second_family(cfg, state_dict, variables):
     Returns (variables, report) where report lists converted leaf paths
     and reference keys that were not consumed (buffers like global_step
     and anchor tensors are expected leftovers)."""
-    sd = {k: v for k, v in state_dict.items()}
-    consumed = set()
-
-    class Tracking(dict):
-        def __getitem__(self, k):
-            consumed.add(k)
-            return sd[k]
-
-        def __contains__(self, k):
-            return k in sd
-
-    tsd = Tracking()
+    tsd, sd, consumed = _tracked(state_dict)
     merged = variables
     report = {'converted': []}
 
@@ -284,7 +297,55 @@ def convert_second_family(cfg, state_dict, variables):
     merged = merge_into(merged, ('dense_head',), dh_p, dh_s)
     report['converted'].append('dense_head')
 
-    report['unconsumed'] = sorted(
-        k for k in sd
-        if k not in consumed and 'num_batches_tracked' not in k)
-    return merged, report
+    return merged, _finish_report(report, sd, consumed)
+
+
+def convert_pointpillar_family(cfg, state_dict, variables):
+    """Full-model conversion for PointPillars (PillarVFE +
+    PointPillarScatter + BaseBEVBackbone + AnchorHeadSingle/KL*).
+    Reference VFE naming: vfe.pfn_layers.{i}.{linear,norm}
+    (pillar_vfe.py:7-41)."""
+    tsd, sd, consumed = _tracked(state_dict)
+    merged = variables
+    report = {'converted': []}
+
+    vfe_p, vfe_s = {}, {}
+    i = 0
+    while f'vfe.pfn_layers.{i}.linear.weight' in sd:
+        p, s = convert_pfn_layer(tsd, prefix=f'vfe.pfn_layers.{i}.')
+        vfe_p[f'PFNLayer_{i}'] = p
+        vfe_s[f'PFNLayer_{i}'] = s
+        i += 1
+    assert i > 0, 'no vfe.pfn_layers.* keys found'
+    merged = merge_into(merged, ('vfe',), vfe_p, vfe_s)
+    report['converted'].append('vfe')
+
+    layer_nums = list(cfg.MODEL.BACKBONE_2D.LAYER_NUMS)
+    bb2d_p, bb2d_s = convert_base_bev_backbone(
+        tsd, layer_nums, upsample=True, prefix='backbone_2d.')
+    merged = merge_into(merged, ('backbone_2d',), bb2d_p, bb2d_s)
+    report['converted'].append('backbone_2d')
+
+    dh_p, dh_s = convert_anchor_head(tsd)
+    merged = merge_into(merged, ('dense_head',), dh_p, dh_s)
+    report['converted'].append('dense_head')
+
+    return merged, _finish_report(report, sd, consumed)
+
+
+def convert_full_model(cfg, state_dict, variables):
+    """Dispatch full-model conversion by config topology.  Supported:
+    SECOND family (MeanVFE + VoxelBackBone8x) and PointPillars
+    (PillarVFE, no 3D backbone).  Other families carry TPU-redesigned
+    parameterizations (corner-aggregation roi pooling, grid-sample IoU
+    heads) with no reference weight counterpart."""
+    vfe = cfg.MODEL.VFE.NAME
+    bb3d = cfg.MODEL.get('BACKBONE_3D', {}).get('NAME')
+    if vfe == 'PillarVFE':
+        return convert_pointpillar_family(cfg, state_dict, variables)
+    if vfe == 'MeanVFE' and bb3d == 'VoxelBackBone8x':
+        return convert_second_family(cfg, state_dict, variables)
+    raise NotImplementedError(
+        f'no full-model conversion for VFE={vfe}, BACKBONE_3D={bb3d}; '
+        'supported: PointPillars and the SECOND family (MeanVFE + '
+        'VoxelBackBone8x)')
