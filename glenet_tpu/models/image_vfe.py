@@ -118,8 +118,10 @@ def trilinear_sample(volume, coords, gather_dtype=None):
     N = X*Y*Z ~ 2.6M voxel centers, so 8 simultaneously-live corners OOM a
     15.75 GB chip (measured: 8 x 3.21 GB padded).  The corners are therefore
     accumulated under `lax.scan` — exactly one gather live at a time — and
-    `gather_dtype=bfloat16` halves the gather bytes (the f32 accumulator
-    keeps the sum exact to bf16 rounding of each term)."""
+    `gather_dtype=bfloat16` halves the gather bytes.  Each gathered value
+    is upcast back to the accumulator dtype BEFORE the weight multiply, so
+    the only quantization is the single bf16 rounding of the stored value:
+    weights stay exact f32 and products/sums accumulate in f32."""
     d, h, w, c = volume.shape
     cd, cv, cu = coords[:, 0], coords[:, 1], coords[:, 2]
     flat = volume.reshape(-1, c)
@@ -148,8 +150,7 @@ def trilinear_sample(volume, coords, gather_dtype=None):
 
     def body(acc, iw):
         idx, wgt = iw
-        return acc + (padded[idx] * wgt[:, None].astype(padded.dtype)
-                      ).astype(acc.dtype), None
+        return acc + padded[idx].astype(acc.dtype) * wgt[:, None], None
 
     out, _ = jax.lax.scan(
         body, jnp.zeros((coords.shape[0], c), volume.dtype), (idx8, wgt8))

@@ -45,6 +45,29 @@ def test_trilinear_sample_oracle(rng):
     np.testing.assert_allclose(got[0], 0.0, atol=1e-6)
 
 
+def test_trilinear_sample_bf16_gather(rng):
+    """The production CaDDN path gathers in bf16 (image_vfe.py ImageVFE
+    sample_one); values are upcast to f32 before the weight product, so
+    error is bounded by one bf16 rounding of each gathered value."""
+    vol = rng.randn(4, 5, 6, 3).astype(np.float32)
+    coords = np.stack([rng.uniform(-0.5, 3.5, 64),
+                       rng.uniform(-0.5, 4.5, 64),
+                       rng.uniform(-0.5, 5.5, 64)], 1).astype(np.float32)
+    ref = np.asarray(iv.trilinear_sample(jnp.asarray(vol),
+                                         jnp.asarray(coords)))
+    got = np.asarray(iv.trilinear_sample(jnp.asarray(vol),
+                                         jnp.asarray(coords),
+                                         gather_dtype=jnp.bfloat16))
+    assert got.dtype == np.float32
+    # bf16 has an 8-bit mantissa: per-term relative error <= 2^-8
+    np.testing.assert_allclose(got, ref, rtol=0, atol=4e-2)
+    # exact lattice points survive bf16 quantization of representable vals
+    lat = np.array([[1, 2, 3]], np.float32)
+    got_l = np.asarray(iv.trilinear_sample(
+        jnp.asarray(vol), jnp.asarray(lat), gather_dtype=jnp.bfloat16))
+    np.testing.assert_allclose(got_l[0], vol[1, 2, 3], rtol=1e-2)
+
+
 def make_caddn_cfg():
     return Cfg({
         'CLASS_NAMES': ['Car'],
