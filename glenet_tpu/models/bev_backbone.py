@@ -67,9 +67,16 @@ class BaseBEVBackbone(nn.Module):
 class SSFA(nn.Module):
     """Spatial-semantic feature aggregation (CIA-SSD / GLENet-C backbone).
 
-    Two branches from the input: a spatial branch at full resolution and a
-    semantic branch at stride 2 with 2x channels, fused by per-pixel
-    sigmoid attention weights (reference ssfa.py:15-149).  Output 128 ch.
+    Exact reference topology (ssfa.py:15-149): a spatial branch at full
+    resolution (3 convs @128) and a semantic branch at stride 2 (3 convs
+    @256); after 1x1 trans blocks the semantic branch is deconvolved back
+    (k3 s2 p1 op1) TWICE — once fused residually into the spatial branch,
+    once standalone — and the two conv_{0,1} outputs are blended by
+    softmax attention weights (w_{0,1}: 1x1 conv + BN, no relu; no
+    activation after the blend).  Output 128 ch.
+
+    Submodule names mirror the reference state_dict groups so
+    weight_converter.convert_ssfa maps 1:1.
     """
     axis_name: Optional[str] = None
     num_bev_features: int = 128
@@ -79,27 +86,37 @@ class SSFA(nn.Module):
         ax = self.axis_name
         # bottom_up_block_0: 3 convs @128, stride 1
         x0 = x
-        for _ in range(3):
-            x0 = ConvBlock(128, 3, 1, padding=1, axis_name=ax)(x0, train=train)
-        # bottom_up_block_1: stride 2, 3 convs @256
-        x1 = ConvBlock(256, 3, 2, padding=1, axis_name=ax)(x0, train=train)
-        for _ in range(2):
-            x1 = ConvBlock(256, 3, 1, padding=1, axis_name=ax)(x1, train=train)
+        for i in range(3):
+            x0 = ConvBlock(128, 3, 1, padding=1, axis_name=ax,
+                           name=f'bottom_up_0_{i}')(x0, train=train)
+        # bottom_up_block_1: stride 2, then 2 convs @256
+        x1 = ConvBlock(256, 3, 2, padding=1, axis_name=ax,
+                       name='bottom_up_1_0')(x0, train=train)
+        for i in (1, 2):
+            x1 = ConvBlock(256, 3, 1, padding=1, axis_name=ax,
+                           name=f'bottom_up_1_{i}')(x1, train=train)
 
-        # trans_0: 1x1 on spatial branch
-        x0t = ConvBlock(128, 1, 1, padding=0, axis_name=ax)(x0, train=train)
-        # trans_1: 1x1 on semantic branch
-        x1t = ConvBlock(256, 1, 1, padding=0, axis_name=ax)(x1, train=train)
-        # deconv semantic to full res
-        x1up = ConvBlock(128, 2, 2, transpose=True, axis_name=ax)(x1t, train=train)
+        x0t = ConvBlock(128, 1, 1, padding=0, axis_name=ax,
+                        name='trans_0')(x0, train=train)
+        x1t = ConvBlock(256, 1, 1, padding=0, axis_name=ax,
+                        name='trans_1')(x1, train=train)
 
-        # conv_0 / w_0: spatial attention logits
-        s = ConvBlock(128, 3, 1, padding=1, axis_name=ax)(x0t, train=train)
-        w0 = ConvBlock(1, 1, 1, padding=0, use_relu=False, axis_name=ax)(s, train=train)
-        # conv_1 / w_1: semantic attention logits
-        t = ConvBlock(128, 3, 1, padding=1, axis_name=ax)(x1up, train=train)
-        w1 = ConvBlock(1, 1, 1, padding=0, use_relu=False, axis_name=ax)(t, train=train)
+        # two torch-style deconvs (k3 s2 p1 op1) from the semantic branch
+        m0 = ConvBlock(128, 3, 2, padding=1, transpose=True,
+                       output_padding=1, axis_name=ax,
+                       name='deconv_0')(x1t, train=train) + x0t
+        m1 = ConvBlock(128, 3, 2, padding=1, transpose=True,
+                       output_padding=1, axis_name=ax,
+                       name='deconv_1')(x1t, train=train)
+
+        o0 = ConvBlock(128, 3, 1, padding=1, axis_name=ax,
+                       name='conv_0')(m0, train=train)
+        o1 = ConvBlock(128, 3, 1, padding=1, axis_name=ax,
+                       name='conv_1')(m1, train=train)
+        w0 = ConvBlock(1, 1, 1, padding=0, use_relu=False, axis_name=ax,
+                       name='w_0')(o0, train=train)
+        w1 = ConvBlock(1, 1, 1, padding=0, use_relu=False, axis_name=ax,
+                       name='w_1')(o1, train=train)
 
         w = nn.softmax(jnp.concatenate([w0, w1], axis=-1), axis=-1)
-        out = s * w[..., 0:1] + t * w[..., 1:2]
-        return nn.relu(out)
+        return o0 * w[..., 0:1] + o1 * w[..., 1:2]

@@ -89,18 +89,28 @@ class CenterHead(nn.Module):
     """Single-group CenterPoint head (all classes in one head)."""
     num_class: int
     shared_ch: int = 64
+    use_bias_before_norm: bool = False   # cfg USE_BIAS_BEFORE_NORM
     axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         """x (B, H, W, C) -> dict of dense maps."""
-        h = nn.Conv(self.shared_ch, (3, 3), padding='SAME', use_bias=False)(x)
+        h = nn.Conv(self.shared_ch, (3, 3), padding='SAME',
+                    use_bias=self.use_bias_before_norm)(x)
         h = MaskedBatchNorm(axis_name=self.axis_name)(
             h, use_running_average=not train)
         h = nn.relu(h)
 
         def head(out_ch, name, bias_init=0.0):
-            y = nn.Conv(self.shared_ch, (3, 3), padding='SAME', name=f'{name}_0')(h)
+            # SeparateHead branch (center_head.py:22-27): [Conv3x3 no-bias,
+            # BN, ReLU] x (num_conv-1) + final biased Conv3x3; num_conv=2
+            # (the HEAD_DICT/NUM_HM_CONV default in every reference config)
+            y = nn.Conv(self.shared_ch, (3, 3), padding='SAME',
+                        use_bias=self.use_bias_before_norm,
+                        name=f'{name}_0')(h)
+            y = MaskedBatchNorm(axis_name=self.axis_name,
+                                name=f'{name}_bn0')(
+                y, use_running_average=not train)
             y = nn.relu(y)
             return nn.Conv(out_ch, (3, 3), padding='SAME', name=f'{name}_1',
                            bias_init=nn.initializers.constant(bias_init))(y)

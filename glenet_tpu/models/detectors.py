@@ -330,6 +330,8 @@ class DetectorNet(nn.Module):
             self.dense_head = CenterHead(
                 num_class=self.num_class,
                 shared_ch=head_cfg.get('SHARED_CONV_CHANNEL', 64),
+                use_bias_before_norm=head_cfg.get('USE_BIAS_BEFORE_NORM',
+                                                  False),
                 axis_name=self.axis_name)
         else:
             raise NotImplementedError(head_cfg.NAME)

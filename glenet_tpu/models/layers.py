@@ -77,7 +77,14 @@ class MaskedBatchNorm(nn.Module):
 
 
 class ConvBlock(nn.Module):
-    """Conv2D + BN + ReLU (NHWC)."""
+    """Conv2D + BN + ReLU (NHWC).
+
+    `transpose` with `output_padding=None` is the stride==kernel deconv the
+    BEV backbones use (flax ConvTranspose, 'SAME').  With `output_padding`
+    set it reproduces torch ConvTranspose2d(k, s, p, op) exactly: input
+    dilated by the stride, padded (k-1-p, k-1-p+op), correlated with the
+    (kH, kW, I, O) kernel — the layout t2f_conv_transpose produces, so
+    reference deconv weights transplant with the same rule."""
     features: int
     kernel_size: int = 3
     stride: int = 1
@@ -85,6 +92,7 @@ class ConvBlock(nn.Module):
     use_relu: bool = True
     padding: str | int = 'SAME'
     transpose: bool = False
+    output_padding: Optional[int] = None
     axis_name: Optional[str] = None
 
     @nn.compact
@@ -92,7 +100,21 @@ class ConvBlock(nn.Module):
         pad = self.padding
         if isinstance(pad, int):
             pad = [(pad, pad), (pad, pad)]
-        if self.transpose:
+        if self.transpose and self.output_padding is not None:
+            k, s, op = self.kernel_size, self.stride, self.output_padding
+            p = self.padding if isinstance(self.padding, int) else 0
+            kernel = self.param(
+                'kernel', nn.initializers.lecun_normal(),
+                (k, k, x.shape[-1], self.features))
+            lo, hi = k - 1 - p, k - 1 - p + op
+            x = jax.lax.conv_general_dilated(
+                x, kernel, window_strides=(1, 1),
+                padding=((lo, hi), (lo, hi)), lhs_dilation=(s, s),
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+            if not self.use_bn:
+                x = x + self.param('bias', nn.initializers.zeros,
+                                   (self.features,))
+        elif self.transpose:
             x = nn.ConvTranspose(
                 self.features, (self.kernel_size, self.kernel_size),
                 strides=(self.stride, self.stride), padding='SAME',

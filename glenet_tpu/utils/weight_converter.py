@@ -205,41 +205,124 @@ def merge_into(variables, path, params_sub, stats_sub):
 # full-model conversion (SECOND family)
 # ---------------------------------------------------------------------------
 
-def convert_voxel_backbone_8x(sd, prefix='backbone_3d.'):
-    """Reference VoxelBackBone8x state_dict -> our module subtree
-    (spconv_backbone.py:69-127: conv_input + conv1 (1 subm block) +
-    conv2..4 (strided + 2 subm blocks) + conv_out z-compression; keys
-    conv{L}.{block}.{0=conv,1=bn} after Sequential nesting)."""
+def convert_voxel_backbone_8x(sd, prefix='backbone_3d.',
+                              subm_per_block=(2, 2, 2), residual=False):
+    """Reference VoxelBackBone8x-family state_dict -> our module subtree.
+
+    Layouts (spconv_backbone.py):
+      - VoxelBackBone8x (:69-127): conv_input + conv1 (1 subm block) +
+        conv2..4 (strided + `subm_per_block` subm blocks) + conv_out;
+        keys conv{L}.{block}.{0=conv,1=bn} after Sequential nesting.
+      - VoxelBackBone8xCiassd (:296-353): same with subm_per_block=(2,3,3).
+      - VoxelResBackBone8x (:183-280, residual=True): conv1 = 2
+        SparseBasicBlocks; conv2..4 = strided + 2 SparseBasicBlocks; each
+        basic block has conv1/bn1/conv2/bn2 -> our '{name}a'/'{name}b'.
+    """
     def unit(conv_key, bn_key):
         bn_p, bn_s = t2f_bn(sd, bn_key)
         return ({'kernel': t2f_spconv(sd[conv_key]),
                  'MaskedBatchNorm_0': bn_p},
                 {'MaskedBatchNorm_0': bn_s})
 
-    mapping = {
-        'conv_input': ('conv_input.0.weight', 'conv_input.1'),
-        'conv1_0': ('conv1.0.0.weight', 'conv1.0.1'),
-        'conv_out': ('conv_out.0.weight', 'conv_out.1'),
-    }
-    for lvl in (2, 3, 4):
-        mapping[f'conv{lvl}_down'] = (f'conv{lvl}.0.0.weight',
-                                      f'conv{lvl}.0.1')
-        mapping[f'conv{lvl}_0'] = (f'conv{lvl}.1.0.weight', f'conv{lvl}.1.1')
-        mapping[f'conv{lvl}_1'] = (f'conv{lvl}.2.0.weight', f'conv{lvl}.2.1')
     params, stats = {}, {}
-    for ours, (ck, bk) in mapping.items():
-        params[ours], stats[ours] = unit(prefix + ck, prefix + bk)
+
+    def put(ours, conv_key, bn_key):
+        params[ours], stats[ours] = unit(prefix + conv_key, prefix + bn_key)
+
+    def put_basic_block(ours, ref):
+        """SparseBasicBlock `ref` -> '{ours}a' + '{ours}b'."""
+        put(f'{ours}a', f'{ref}.conv1.weight', f'{ref}.bn1')
+        put(f'{ours}b', f'{ref}.conv2.weight', f'{ref}.bn2')
+
+    put('conv_input', 'conv_input.0.weight', 'conv_input.1')
+    if residual:
+        put_basic_block('conv1_0', 'conv1.0')
+        put_basic_block('conv1_1', 'conv1.1')
+    else:
+        put('conv1_0', 'conv1.0.0.weight', 'conv1.0.1')
+    for li, lvl in enumerate((2, 3, 4)):
+        put(f'conv{lvl}_down', f'conv{lvl}.0.0.weight', f'conv{lvl}.0.1')
+        n_subm = 2 if residual else subm_per_block[li]
+        for j in range(n_subm):
+            if residual:
+                put_basic_block(f'conv{lvl}_{j}', f'conv{lvl}.{j + 1}')
+            else:
+                put(f'conv{lvl}_{j}', f'conv{lvl}.{j + 1}.0.weight',
+                    f'conv{lvl}.{j + 1}.1')
+    put('conv_out', 'conv_out.0.weight', 'conv_out.1')
+    return params, stats
+
+
+def convert_ssfa(sd, prefix='backbone_2d.'):
+    """Reference SSFA state_dict (ssfa.py:15-149) -> our SSFA subtree
+    (bev_backbone.SSFA named submodules).  bottom_up_block_0 leads with a
+    ZeroPad2d so its convs sit at Sequential indices 1,4,7; every other
+    block is [Conv|ConvTranspose, BN, (ReLU)] from index 0."""
+    params, stats = {}, {}
+
+    def put(ours, conv_key, bn_key, transpose=False):
+        p, s = _conv_block(sd, prefix + conv_key, prefix + bn_key,
+                           transpose=transpose)
+        if transpose:
+            # torch-style (k3 s2 p1 op1) deconv path stores the kernel at
+            # the ConvBlock level (layers.ConvBlock output_padding branch)
+            p = {'kernel': p['ConvTranspose_0']['kernel'],
+                 'MaskedBatchNorm_0': p['MaskedBatchNorm_0']}
+        params[ours] = p
+        stats[ours] = s
+
+    for i in range(3):
+        put(f'bottom_up_0_{i}', f'bottom_up_block_0.{1 + 3 * i}.weight',
+            f'bottom_up_block_0.{2 + 3 * i}')
+        put(f'bottom_up_1_{i}', f'bottom_up_block_1.{3 * i}.weight',
+            f'bottom_up_block_1.{3 * i + 1}')
+    for name in ('trans_0', 'trans_1', 'conv_0', 'conv_1', 'w_0', 'w_1'):
+        put(name, f'{name}.0.weight', f'{name}.1')
+    for i in (0, 1):
+        put(f'deconv_{i}', f'deconv_block_{i}.0.weight',
+            f'deconv_block_{i}.1', transpose=True)
+    return params, stats
+
+
+def convert_center_head(sd, prefix='dense_head.'):
+    """Reference CenterHead (center_head.py:73-92 shared_conv +
+    SeparateHead branches, num_conv=2, single head group) -> our
+    center_head.CenterHead subtree."""
+    params, stats = {}, {}
+    params['Conv_0'] = {
+        'kernel': t2f_conv(sd[f'{prefix}shared_conv.0.weight'])}
+    if f'{prefix}shared_conv.0.bias' in sd:
+        params['Conv_0']['bias'] = np.asarray(
+            sd[f'{prefix}shared_conv.0.bias'])
+    bn_p, bn_s = t2f_bn(sd, f'{prefix}shared_conv.1')
+    params['MaskedBatchNorm_0'] = bn_p
+    stats['MaskedBatchNorm_0'] = bn_s
+
+    for name in ('hm', 'center', 'center_z', 'dim', 'rot'):
+        base = f'{prefix}heads_list.0.{name}'
+        params[f'{name}_0'] = {
+            'kernel': t2f_conv(sd[f'{base}.0.0.weight'])}
+        if f'{base}.0.0.bias' in sd:
+            params[f'{name}_0']['bias'] = np.asarray(sd[f'{base}.0.0.bias'])
+        bn_p, bn_s = t2f_bn(sd, f'{base}.0.1')
+        params[f'{name}_bn0'] = bn_p
+        stats[f'{name}_bn0'] = bn_s
+        params[f'{name}_1'] = {
+            'kernel': t2f_conv(sd[f'{base}.1.weight']),
+            'bias': np.asarray(sd[f'{base}.1.bias'])}
     return params, stats
 
 
 def convert_anchor_head(sd, prefix='dense_head.'):
     """AnchorHeadSingle + KL-family variance branch (anchor_head_single.py
-    :17-39, anchor_head_kl_label.py:29-31 conv_box_std)."""
+    :17-39, anchor_head_kl_label.py:29-31 conv_box_std) + IoU branch
+    (anchor_head_kl_label.py:263 conv_iou, GLENet-C / SECOND-IoU)."""
     params, _ = convert_anchor_head_single(sd, prefix=prefix)
-    if f'{prefix}conv_box_std.weight' in sd:
-        params['conv_box_std'] = {
-            'kernel': t2f_conv(sd[f'{prefix}conv_box_std.weight']),
-            'bias': np.asarray(sd[f'{prefix}conv_box_std.bias'])}
+    for extra in ('conv_box_std', 'conv_iou'):
+        if f'{prefix}{extra}.weight' in sd:
+            params[extra] = {
+                'kernel': t2f_conv(sd[f'{prefix}{extra}.weight']),
+                'bias': np.asarray(sd[f'{prefix}{extra}.bias'])}
     return params, {}
 
 
@@ -333,19 +416,90 @@ def convert_pointpillar_family(cfg, state_dict, variables):
     return merged, _finish_report(report, sd, consumed)
 
 
+_BB3D_VARIANTS = {
+    # name -> (subm_per_block, residual)
+    'VoxelBackBone8x': ((2, 2, 2), False),
+    'VoxelBackBone8xCiassd': ((2, 3, 3), False),
+    'VoxelResBackBone8x': ((2, 2, 2), True),
+}
+
+
 def convert_full_model(cfg, state_dict, variables):
-    """Dispatch full-model conversion by config topology.  Supported:
-    SECOND family (MeanVFE + VoxelBackBone8x) and PointPillars
-    (PillarVFE, no 3D backbone).  Other families carry TPU-redesigned
-    parameterizations (corner-aggregation roi pooling, grid-sample IoU
-    heads) with no reference weight counterpart."""
+    """Compositional full-model torch->flax conversion.
+
+    Converts every slot with a 1:1 parameterization: VFE (PillarVFE /
+    MeanVFE), BACKBONE_3D (VoxelBackBone8x / Ciassd / Res variants),
+    BACKBONE_2D (BaseBEVBackbone / SSFA), DENSE_HEAD (AnchorHeadSingle /
+    KL / KL-IoU families, CenterHead).  Covers PointPillars, the SECOND
+    family (incl. GLENet-S), GLENet-C, SECOND-IoU and CenterPoint.
+
+    RoI-head policy (documented; see also MIGRATION.md): second-stage
+    heads are NOT converted.  Our VoxelRCNN-family RoI pooling is the
+    corner-aggregation TPU redesign — its pooling MLPs parameterize a
+    different function than the reference's voxel-query
+    NeighborVoxelSAModuleMSG, so reference weights have no counterpart.
+    Converted checkpoints therefore initialize stage 1 exactly and leave
+    stage 2 at init; fine-tune the roi head (optionally with
+    train/bn_refresh.py to re-estimate BN moments) to recover full
+    accuracy.  The unconsumed roi-head keys are listed in the report.
+    """
     vfe = cfg.MODEL.VFE.NAME
-    bb3d = cfg.MODEL.get('BACKBONE_3D', {}).get('NAME')
+    bb3d_name = cfg.MODEL.get('BACKBONE_3D', {}).get('NAME')
+    bb2d_name = cfg.MODEL.get('BACKBONE_2D', {}).get('NAME')
+    head_name = cfg.MODEL.DENSE_HEAD.NAME
+
+    tsd, sd, consumed = _tracked(state_dict)
+    merged = variables
+    report = {'converted': []}
+
+    # ---- VFE ---------------------------------------------------------------
     if vfe == 'PillarVFE':
-        return convert_pointpillar_family(cfg, state_dict, variables)
-    if vfe == 'MeanVFE' and bb3d == 'VoxelBackBone8x':
-        return convert_second_family(cfg, state_dict, variables)
-    raise NotImplementedError(
-        f'no full-model conversion for VFE={vfe}, BACKBONE_3D={bb3d}; '
-        'supported: PointPillars and the SECOND family (MeanVFE + '
-        'VoxelBackBone8x)')
+        vfe_p, vfe_s = {}, {}
+        i = 0
+        while f'vfe.pfn_layers.{i}.linear.weight' in sd:
+            p, s = convert_pfn_layer(tsd, prefix=f'vfe.pfn_layers.{i}.')
+            vfe_p[f'PFNLayer_{i}'] = p
+            vfe_s[f'PFNLayer_{i}'] = s
+            i += 1
+        assert i > 0, 'no vfe.pfn_layers.* keys found'
+        merged = merge_into(merged, ('vfe',), vfe_p, vfe_s)
+        report['converted'].append('vfe')
+    elif vfe not in ('MeanVFE', 'DynMeanVFE', 'DynamicMeanVFE'):
+        raise NotImplementedError(f'no VFE conversion for {vfe}')
+
+    # ---- 3D backbone -------------------------------------------------------
+    if bb3d_name is not None:
+        if bb3d_name not in _BB3D_VARIANTS:
+            raise NotImplementedError(
+                f'no BACKBONE_3D conversion for {bb3d_name}')
+        subm, residual = _BB3D_VARIANTS[bb3d_name]
+        bb3d_p, bb3d_s = convert_voxel_backbone_8x(
+            tsd, subm_per_block=subm, residual=residual)
+        merged = merge_into(merged, ('backbone_3d',), bb3d_p, bb3d_s)
+        report['converted'].append('backbone_3d')
+
+    # ---- 2D backbone -------------------------------------------------------
+    if bb2d_name == 'SSFA':
+        bb2d_p, bb2d_s = convert_ssfa(tsd)
+        merged = merge_into(merged, ('backbone_2d',), bb2d_p, bb2d_s)
+        report['converted'].append('backbone_2d')
+    elif bb2d_name == 'BaseBEVBackbone':
+        layer_nums = list(cfg.MODEL.BACKBONE_2D.LAYER_NUMS)
+        upsample = bool(cfg.MODEL.BACKBONE_2D.get('UPSAMPLE_STRIDES', []))
+        bb2d_p, bb2d_s = convert_base_bev_backbone(
+            tsd, layer_nums, upsample=upsample, prefix='backbone_2d.')
+        merged = merge_into(merged, ('backbone_2d',), bb2d_p, bb2d_s)
+        report['converted'].append('backbone_2d')
+    elif bb2d_name is not None:
+        raise NotImplementedError(
+            f'no BACKBONE_2D conversion for {bb2d_name}')
+
+    # ---- dense head --------------------------------------------------------
+    if head_name == 'CenterHead':
+        dh_p, dh_s = convert_center_head(tsd)
+    else:
+        dh_p, dh_s = convert_anchor_head(tsd)
+    merged = merge_into(merged, ('dense_head',), dh_p, dh_s)
+    report['converted'].append('dense_head')
+
+    return merged, _finish_report(report, sd, consumed)
