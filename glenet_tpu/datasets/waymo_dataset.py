@@ -256,12 +256,9 @@ class WaymoDataset:
 
 
 def create_waymo_infos(*args, **kwargs):
-    try:
-        import waymo_open_dataset  # noqa: F401
-    except ImportError as e:
-        raise ImportError(
-            'raw Waymo TFRecord extraction requires the waymo-open-dataset '
-            'SDK; preprocess on a machine with it installed (the info/npy '
-            'format matches the reference pcdet waymo_utils.py output)'
-        ) from e
-    raise NotImplementedError
+    """Raw TFRecord -> info pkl + npy extraction (reference
+    waymo_utils.py:186-246).  Implemented in waymo_raw.py behind the
+    waymo-open-dataset SDK gate; the per-frame assembly + schema are
+    SDK-free and covered by tests/test_waymo_raw.py."""
+    from .waymo_raw import create_waymo_infos as _impl
+    return _impl(*args, **kwargs)
