@@ -27,6 +27,9 @@ import numpy as np
 from ..ops import sparse
 from .layers import MaskedBatchNorm
 
+# Compute dtype for the dense backbone levels (see DenseConvBN.mxu_dtype).
+DENSE_MXU_DTYPE: 'Any | None' = jnp.bfloat16
+
 
 class SubMConvBN(nn.Module):
     """Submanifold sparse conv + BN + ReLU with a precomputed neighbor table."""
@@ -149,10 +152,12 @@ class DenseConvBN(nn.Module):
     submanifold: bool = True
     use_relu: bool = True
     axis_name: Optional[str] = None
-    # conv compute dtype: bf16 inputs/weights with f32 accumulation — the
-    # MXU's native mode; activations stream at half the HBM bytes and BN
-    # still runs in f32 on the accumulated output
-    mxu_dtype: Optional[Any] = jnp.bfloat16
+    # conv compute dtype: None defers to the module-level DENSE_MXU_DTYPE
+    # (bf16 inputs/weights with f32 accumulation — the MXU's native mode;
+    # activations stream at half the HBM bytes and BN still runs in f32 on
+    # the accumulated output).  Oracle/parity tests set DENSE_MXU_DTYPE to
+    # f32 for tight tolerances, like ops.sparse.GATHER_COMPUTE_DTYPE.
+    mxu_dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, occ, train: bool = True):
@@ -164,7 +169,7 @@ class DenseConvBN(nn.Module):
         w = self.param('kernel', nn.initializers.lecun_normal(),
                        (kz * ky * kx, cin, self.features))
         w_dense = w.reshape(kz, ky, kx, cin, self.features)
-        cdt = self.mxu_dtype or x.dtype
+        cdt = self.mxu_dtype or DENSE_MXU_DTYPE or x.dtype
         # compute fully in bf16 (XLA accumulates f32 on the MXU) and cast
         # back up for BN; a widening preferred_element_type here makes the
         # VJP emit dtype-mismatched convs.

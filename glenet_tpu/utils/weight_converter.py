@@ -93,13 +93,41 @@ def _conv_block(sd, conv_key, bn_key, transpose=False):
             {'MaskedBatchNorm_0': bn_s})
 
 
-def convert_base_bev_backbone(sd, layer_nums, upsample=True, prefix=''):
+def height_compression_perm(sd, bev_in_key, prefix='backbone_3d.'):
+    """Input-channel permutation for the first BEV conv after
+    HeightCompression, or None when no sparse conv_out precedes it.
+
+    The reference folds z into channels C-outer (`dense()` gives
+    (N, C, D, H, W), then `view(N, C*D, H, W)` — height_compression.py:
+    20-23, channel index c*D + d), while our backbone folds z-outer
+    (spconv_backbone.py bev reshape, channel index d*C + c).  Reference
+    BEV weights must therefore have their input channels remapped:
+    our channel (d, c) reads reference channel c*D + d.
+    """
+    w_out = sd.get(f'{prefix}conv_out.0.weight')
+    if w_out is None or bev_in_key not in sd:
+        return None
+    w_out = np.asarray(w_out)
+    # conv_out channels: spconv2 (O, kz, ky, kx, I) or spconv1 (...,I,O)
+    c = w_out.shape[0] if w_out.shape[1] <= 3 else w_out.shape[-1]
+    total = np.asarray(sd[bev_in_key]).shape[1]
+    d = total // c
+    if d * c != total or d == 1:
+        return None
+    idx = np.arange(total)
+    return (idx % c) * d + (idx // c)
+
+
+def convert_base_bev_backbone(sd, layer_nums, upsample=True, prefix='',
+                              in_perm=None):
     """Reference BaseBEVBackbone state_dict -> our module subtree.
 
     Reference naming (base_bev_backbone.py:31-70): blocks.{i} is a
     Sequential [ZeroPad, Conv, BN, ReLU, (Conv, BN, ReLU) x layer_nums[i]],
     deblocks.{i} is [ConvTranspose|Conv, BN, ReLU].  Ours: a flat sequence
     of ConvBlock_{k} in call order (downsample, n convs, up) per level.
+    `in_perm` remaps the first conv's input channels (HeightCompression
+    z-fold order, see height_compression_perm).
     """
     params, stats = {}, {}
     k = 0
@@ -107,6 +135,8 @@ def convert_base_bev_backbone(sd, layer_nums, upsample=True, prefix=''):
         # downsample conv: seq idx 1 (after ZeroPad2d), BN at 2
         p, s = _conv_block(sd, f'{prefix}blocks.{i}.1.weight',
                            f'{prefix}blocks.{i}.2')
+        if i == 0 and in_perm is not None:
+            p['Conv_0']['kernel'] = p['Conv_0']['kernel'][:, :, in_perm, :]
         params[f'ConvBlock_{k}'] = p
         stats[f'ConvBlock_{k}'] = s
         k += 1
@@ -253,11 +283,12 @@ def convert_voxel_backbone_8x(sd, prefix='backbone_3d.',
     return params, stats
 
 
-def convert_ssfa(sd, prefix='backbone_2d.'):
+def convert_ssfa(sd, prefix='backbone_2d.', in_perm=None):
     """Reference SSFA state_dict (ssfa.py:15-149) -> our SSFA subtree
     (bev_backbone.SSFA named submodules).  bottom_up_block_0 leads with a
     ZeroPad2d so its convs sit at Sequential indices 1,4,7; every other
-    block is [Conv|ConvTranspose, BN, (ReLU)] from index 0."""
+    block is [Conv|ConvTranspose, BN, (ReLU)] from index 0.  `in_perm`
+    remaps the first conv's input channels (height_compression_perm)."""
     params, stats = {}, {}
 
     def put(ours, conv_key, bn_key, transpose=False):
@@ -281,6 +312,9 @@ def convert_ssfa(sd, prefix='backbone_2d.'):
     for i in (0, 1):
         put(f'deconv_{i}', f'deconv_block_{i}.0.weight',
             f'deconv_block_{i}.1', transpose=True)
+    if in_perm is not None:
+        k = params['bottom_up_0_0']['Conv_0']['kernel']
+        params['bottom_up_0_0']['Conv_0']['kernel'] = k[:, :, in_perm, :]
     return params, stats
 
 
@@ -372,7 +406,8 @@ def convert_second_family(cfg, state_dict, variables):
 
     layer_nums = list(cfg.MODEL.BACKBONE_2D.LAYER_NUMS)
     bb2d_p, bb2d_s = convert_base_bev_backbone(
-        tsd, layer_nums, upsample=True, prefix='backbone_2d.')
+        tsd, layer_nums, upsample=True, prefix='backbone_2d.',
+        in_perm=height_compression_perm(sd, 'backbone_2d.blocks.0.1.weight'))
     merged = merge_into(merged, ('backbone_2d',), bb2d_p, bb2d_s)
     report['converted'].append('backbone_2d')
 
@@ -480,14 +515,18 @@ def convert_full_model(cfg, state_dict, variables):
 
     # ---- 2D backbone -------------------------------------------------------
     if bb2d_name == 'SSFA':
-        bb2d_p, bb2d_s = convert_ssfa(tsd)
+        perm = height_compression_perm(
+            sd, 'backbone_2d.bottom_up_block_0.1.weight')
+        bb2d_p, bb2d_s = convert_ssfa(tsd, in_perm=perm)
         merged = merge_into(merged, ('backbone_2d',), bb2d_p, bb2d_s)
         report['converted'].append('backbone_2d')
     elif bb2d_name == 'BaseBEVBackbone':
         layer_nums = list(cfg.MODEL.BACKBONE_2D.LAYER_NUMS)
         upsample = bool(cfg.MODEL.BACKBONE_2D.get('UPSAMPLE_STRIDES', []))
+        perm = height_compression_perm(sd, 'backbone_2d.blocks.0.1.weight')
         bb2d_p, bb2d_s = convert_base_bev_backbone(
-            tsd, layer_nums, upsample=upsample, prefix='backbone_2d.')
+            tsd, layer_nums, upsample=upsample, prefix='backbone_2d.',
+            in_perm=perm)
         merged = merge_into(merged, ('backbone_2d',), bb2d_p, bb2d_s)
         report['converted'].append('backbone_2d')
     elif bb2d_name is not None:

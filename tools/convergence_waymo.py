@@ -100,6 +100,20 @@ def main():
     params, mstate, final_loss, t0 = run_overfit(det, batches, n_steps,
                                                  peak_lr)
 
+    # exact BN stat re-estimation before eval-mode prediction: without it
+    # the running averages lag the overfit batch stats, which flips dir-bin
+    # argmaxes by pi and tanks APH while leaving AP (IoU-based) intact —
+    # the round-2 "Waymo APH gap" was exactly this harness artifact
+    # (convergence_ap.py has always refreshed; probe evidence in
+    # tools/scripts/mini_kl_heading.py: train-mode dir_acc 1.000 vs
+    # eval-mode 0.854 on the same params)
+    from glenet_tpu.train.bn_refresh import refresh_detector_stats
+    variables = refresh_detector_stats(
+        det, {'params': params, **mstate}, batches)
+    params = variables['params']
+    mstate = {k: v for k, v in variables.items() if k != 'params'}
+    print(f'bn stats refreshed over {len(batches)} batches', flush=True)
+
     predict = jax.jit(lambda v, b: det.predict(v, b))
     gt_annos, dt_annos = [], []
     for bi, b in enumerate(batches):

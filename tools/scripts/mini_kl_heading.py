@@ -113,8 +113,14 @@ def main():
     net = det
     flat_anchors = jnp.asarray(net.anchor_set.flat_anchors)
 
-    def heading_probe(v):
-        out = fwd_eval(v, batch)['dense_head']
+    fwd_train = jax.jit(lambda v, b: det.net.apply(
+        v, b['points'], b['points_mask'], train=True,
+        mutable=['batch_stats'], rngs={'dropout': jax.random.PRNGKey(0)})[0])
+
+    def heading_probe(v, mode='eval'):
+        raw = (fwd_train(v, batch) if mode == 'train'
+               else fwd_eval(v, batch))
+        out = raw['dense_head']
         decoded = anchor_heads.decode_predictions(
             out, flat_anchors, net.box_coder,
             dir_offset=net.dir_offset,
@@ -165,7 +171,7 @@ def main():
                 best = ious_f[gi].argmax()
                 post_err.append(wrap(fb[best, 6] - gtb[gi, 6])
                                 if ious_f[gi, best] > 0.5 else float('nan'))
-            print(f'   s{s} dir_acc={dir_acc:.3f} '
+            print(f'   [{mode}] s{s} dir_acc={dir_acc:.3f} '
                   f'pre_err={np.round(pre_err, 2).tolist()} '
                   f'post_err={np.round(post_err, 2).tolist()}', flush=True)
 
@@ -177,6 +183,13 @@ def main():
             m = {k: round(float(x), 3) for k, x in mets.items()}
             print(f'step {i}: loss={float(loss):.3f} {m}', flush=True)
             heading_probe(variables)
+            heading_probe(variables, mode='train')
+    # final: eval-mode after exact BN stat re-estimation (the convergence
+    # harness always refreshes; the raw running averages may lag badly)
+    from glenet_tpu.train.bn_refresh import refresh_detector_stats
+    variables = refresh_detector_stats(det, variables, [batch] * 8)
+    print('after bn_refresh:', flush=True)
+    heading_probe(variables)
     print('total', round(time.time() - t0, 1), 's')
 
 
