@@ -19,11 +19,16 @@ import numpy as np
 
 
 def initialize(coordinator_address=None, num_processes=None, process_id=None):
-    """Initialize multi-host JAX (no-op when single-process / already up)."""
-    if jax.process_count() > 1:
-        return
+    """Initialize multi-host JAX (no-op when single-process / already up).
+
+    Must run before anything touches the XLA backend — even
+    jax.process_count() initializes it, so the already-up check goes
+    through the distributed client state, not a device query."""
     if coordinator_address is None:
         return  # single-host
+    from jax._src import distributed as _jax_dist
+    if _jax_dist.global_state.client is not None:
+        return  # already initialized (e.g. Cloud TPU auto-bootstrap)
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
                                process_id=process_id)

@@ -83,9 +83,37 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    """Place a host batch dict with leading batch axis onto the mesh."""
+    """Place a host batch dict with leading batch axis onto the mesh.
+
+    Multi-process: each host passes its PER-HOST batch (the leading axis is
+    this process's slice); the global batch is assembled across processes
+    via make_array_from_process_local_data (global B = world x local B).
+    Single-process: plain device_put of the full batch.
+    """
     sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        import numpy as np
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), batch)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def put_replicated(tree, mesh: Mesh):
+    """Replicate a host pytree onto every mesh device.
+
+    Multi-process: every host must hold the same values (true for a train
+    state created from the same seed/example, or restored from the same
+    checkpoint); the fully-replicated global array is assembled from the
+    per-process copies.
+    """
+    sharding = replicated(mesh)
+    if jax.process_count() > 1:
+        import numpy as np
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), tree)
+    return jax.device_put(tree, sharding)
 
 
 def jit_train_step(train_step, mesh: Mesh):

@@ -96,11 +96,19 @@ def main():
     detector = build_detector(cfg)
     tx, lr_sched = optim_lib.build_optimizer(cfg.OPTIMIZATION, total_steps)
 
-    # use the largest device count that divides the batch
     all_devices = jax.devices()
-    n_dev = len(all_devices)
-    while batch_size % n_dev != 0:
-        n_dev -= 1
+    if world > 1:
+        # multi-process: every process's devices must participate; the
+        # global batch (world x per-host batch) shards over all of them
+        n_dev = len(all_devices)
+        assert (batch_size * world) % n_dev == 0, (
+            f'global batch {batch_size * world} not divisible by '
+            f'{n_dev} devices')
+    else:
+        # single process: use the largest device count dividing the batch
+        n_dev = len(all_devices)
+        while batch_size % n_dev != 0:
+            n_dev -= 1
     mesh = mesh_lib.make_mesh(all_devices[:n_dev])
     logger.info(f'devices: {n_dev}, batch {batch_size}, '
                 f'{steps_per_epoch} steps/epoch, {num_epochs} epochs')
@@ -125,7 +133,7 @@ def main():
 
     from glenet_tpu.utils.summary import ScalarWriter
     writer = ScalarWriter(output_dir / 'tensorboard', enabled=(rank == 0))
-    ts = jax.device_put(ts, mesh_lib.replicated(mesh))
+    ts = mesh_lib.put_replicated(ts, mesh)
     it = int(ts.step)
     profiling = False
     for epoch in range(start_epoch, num_epochs):
