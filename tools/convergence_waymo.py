@@ -97,6 +97,49 @@ def main():
 
     scenes = [make_scene(s) for s in range(N_SCENES)]
     batches = make_batches(scenes, BATCH, MAX_POINTS, N_GT)
+
+    # per-level active-site telemetry (VERDICT r3 #7): exact spconv
+    # dilation rule counts at the Waymo grid, uncapped, vs the level caps
+    # actually in force — validates ops/sparse.level_caps scaling at 150 m
+    if cfg.MODEL.get('BACKBONE_3D') is not None:
+        import jax.numpy as jnp
+
+        from glenet_tpu.ops import sparse as sparse_ops
+        from glenet_tpu.ops import voxelize as vox_ops
+        caps = sparse_ops.level_caps(det.max_voxels)
+        grid = tuple(int(g) for g in det.grid_size)
+        grid1 = (grid[0], grid[1], grid[2] + 1)
+        counts = [[] for _ in range(4)]
+        b0 = batches[0]
+        for k in range(b0['points'].shape[0]):
+            vox = vox_ops.voxelize(
+                b0['points'][k], b0['points_mask'][k],
+                voxel_size=tuple(det.voxel_size),
+                pc_range=tuple(det.pc_range), grid_size=grid,
+                max_voxels=det.max_voxels,
+                max_points_per_voxel=det.max_points_per_voxel)
+            ny, nx = grid1[1], grid1[0]
+            ids = jnp.where(
+                vox['voxel_mask'],
+                vox['voxel_coords'][:, 0] * (ny * nx)
+                + vox['voxel_coords'][:, 1] * nx + vox['voxel_coords'][:, 2],
+                nx * ny * grid1[2]).astype(jnp.int32)
+            mask = vox['voxel_mask']
+            counts[0].append(int(mask.sum()))
+            g = grid1
+            for lvl in (1, 2, 3):
+                pad = (0, 1, 1) if lvl == 3 else 1
+                big = 8 * caps[lvl]
+                ids, mask = sparse_ops.strided_output_sites(
+                    ids, mask, g, 3, 2, pad, big)
+                g = sparse_ops.out_grid_size(g, 3, 2, pad)
+                counts[lvl].append(int(mask.sum()))
+        for lvl in range(4):
+            mx = max(counts[lvl])
+            flag = ' OVERFLOW' if mx > caps[lvl] else ''
+            print(f'level{lvl + 1} active sites max={mx} '
+                  f'cap={caps[lvl]}{flag}', flush=True)
+
     params, mstate, final_loss, t0 = run_overfit(det, batches, n_steps,
                                                  peak_lr)
 
