@@ -110,19 +110,25 @@ class DDNLite(nn.Module):
 # frustum -> voxel sampling
 # ---------------------------------------------------------------------------
 
-def trilinear_sample(volume, coords, gather_dtype=None):
+def trilinear_sample(volume, coords, gather_dtype=None, chunks=8):
     """volume (D, H, W, C); coords (N, 3) as (d, v, u) float indices.
     Zero padding outside.  Returns (N, C).
 
     The 8 corner gathers each materialize an (N, C) tensor; at CaDDN scale
     N = X*Y*Z ~ 2.6M voxel centers, so 8 simultaneously-live corners OOM a
-    15.75 GB chip (measured: 8 x 3.21 GB padded).  The corners are therefore
-    accumulated under `lax.scan` — exactly one gather live at a time — and
-    `gather_dtype=bfloat16` halves the gather bytes.  Each gathered value
-    is upcast back to the accumulator dtype BEFORE the weight multiply, so
-    the only quantization is the single bf16 rounding of the stored value:
-    weights stay exact f32 and products/sums accumulate in f32."""
+    15.75 GB chip (measured: 8 x 3.21 GB padded).  Two levers bound that:
+    the corners are accumulated under `lax.scan` with a *checkpointed*
+    body — the backward recomputes each corner's gather from (idx, wgt)
+    instead of keeping all 8 as scan residuals (the 8x3.21 GB jvp
+    residuals were the measured CaDDN train-step OOM) — and N is split
+    into `chunks` slices under `lax.map`, so a live gather transient is
+    (N/chunks, C).  `gather_dtype=bfloat16` further halves the gather
+    bytes.  Each gathered value is upcast back to the accumulator dtype
+    BEFORE the weight multiply, so the only quantization is the single
+    bf16 rounding of the stored value: weights stay exact f32 and
+    products/sums accumulate in f32."""
     d, h, w, c = volume.shape
+    n = coords.shape[0]
     cd, cv, cu = coords[:, 0], coords[:, 1], coords[:, 2]
     flat = volume.reshape(-1, c)
     padded = jnp.concatenate([flat, jnp.zeros((1, c), volume.dtype)], 0)
@@ -148,13 +154,30 @@ def trilinear_sample(volume, coords, gather_dtype=None):
     idx8 = jnp.stack(idxs)                      # (8, N) int32
     wgt8 = jnp.stack(wgts).astype(volume.dtype)  # (8, N)
 
-    def body(acc, iw):
+    # pad N to a chunk multiple; sentinel rows gather the zero pad row
+    chunks = max(1, min(int(chunks), n))
+    n_pad = -n % chunks
+    if n_pad:
+        idx8 = jnp.concatenate(
+            [idx8, jnp.full((8, n_pad), d * h * w, jnp.int32)], 1)
+        wgt8 = jnp.concatenate(
+            [wgt8, jnp.zeros((8, n_pad), wgt8.dtype)], 1)
+    per = (n + n_pad) // chunks
+    idx8 = idx8.reshape(8, chunks, per).transpose(1, 0, 2)  # (K, 8, per)
+    wgt8 = wgt8.reshape(8, chunks, per).transpose(1, 0, 2)
+
+    @jax.checkpoint
+    def corner(acc, iw):
         idx, wgt = iw
         return acc + padded[idx].astype(acc.dtype) * wgt[:, None], None
 
-    out, _ = jax.lax.scan(
-        body, jnp.zeros((coords.shape[0], c), volume.dtype), (idx8, wgt8))
-    return out
+    def chunk_fn(iw):
+        out, _ = jax.lax.scan(
+            corner, jnp.zeros((per, c), volume.dtype), iw)
+        return out
+
+    out = jax.lax.map(chunk_fn, (idx8, wgt8))   # (K, per, C)
+    return out.reshape(-1, c)[:n]
 
 
 def voxel_grid_centers(grid_size, pc_range):

@@ -234,15 +234,57 @@ def gather_gemm(features, nbr_idx, weights):
 
 
 def _gather_rows3(ext, q):
-    """ext (N, C); q (...,) int32 block starts — returns (..., 3, C) with
+    """ext (N, C); q (...,) int32 block starts — returns (..., 3*C) with
     rows ext[q], ext[q+1], ext[q+2] fetched as ONE contiguous-slice gather
-    (one random HBM access per 3 rows instead of 3)."""
+    (one random HBM access per 3 rows instead of 3).  The three rows come
+    back MERGED into the minor axis: a (..., 3, C) result would tile-pad
+    (3, C) -> (4, 128) on TPU (measured 5.3x HBM blowup at Waymo scale);
+    (..., 3*C) pads only 3C -> ceil(3C/128)*128."""
     n, c = ext.shape
-    qs = q.reshape(-1, 1)
+    qs = (q.reshape(-1, 1) * c).astype(jnp.int32)
     dn = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0,))
-    out = jax.lax.gather(ext, qs, dn, slice_sizes=(3, c), mode='clip')
-    return out.reshape(q.shape + (3, c))
+        offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,))
+    out = jax.lax.gather(ext.reshape(-1), qs, dn, slice_sizes=(3 * c,),
+                         mode='clip')
+    return out.reshape(q.shape + (3 * c,))
+
+
+def _xblock_hits(ids, base, q, valid_c, xok):
+    """Shared tail of the x-block table builders: per-tap hit masks and the
+    raw-membership ranks that align gathered block rows to taps.
+
+    All outputs keep the big V axis MINOR — a (9, V, 3)-shaped bool/int
+    tensor tile-pads its last dim 3 -> 128 on TPU (measured 42.7x HBM
+    blowup at Waymo scale, the round-3 GLENet_S_waymo compile OOM), so
+    every per-tap quantity here is a (9, V) slice stacked on a LEADING
+    axis of 3.
+
+    Args: ids (V,) sorted table; base (9, V) first-tap ids (n_cells
+    sentinel when invalid); q (9, V) block starts; valid_c (9, V) bool;
+    xok: 3-tuple of (V,) bool per-tap x-range masks.
+    Returns:
+        q:   (9, V) int32 block-start slots;
+        hit: (3, 9, V) bool — tap d of group g at site v has a live input;
+        m01: (2, 9, V) bool — RAW table membership of expected ids base+0
+             and base+1 (unmasked; ranks gathered block rows to taps).
+    """
+    v = ids.shape[0]
+    ids_ext = jnp.concatenate([ids, jnp.full((2,), -(2 ** 30), ids.dtype)])
+    # three single-row lookups of the small (V,) id table — no minor-3 dim
+    r0 = jnp.take(ids_ext, q, mode='clip')
+    r1 = jnp.take(ids_ext, q + 1, mode='clip')
+    r2 = jnp.take(ids_ext, q + 2, mode='clip')
+
+    def member(e):
+        return (r0 == e) | (r1 == e) | (r2 == e)
+
+    m0 = member(base)
+    m1 = member(base + 1)
+    m2 = member(base + 2)
+    hit = jnp.stack([m0 & valid_c & xok[0][None, :],
+                     m1 & valid_c & xok[1][None, :],
+                     m2 & valid_c & xok[2][None, :]])
+    return q, hit, jnp.stack([m0, m1])
 
 
 def subm_xblock_table(ids, mask, grid):
@@ -256,12 +298,9 @@ def subm_xblock_table(ids, mask, grid):
 
     Args: ids (V,) sorted linear ids (n_cells sentinel in invalid slots);
           mask (V,) bool.
-    Returns:
-        q:   (9, V) int32 block-start slots in [0, V-1];
-        sel: (9, V, 3, 3) bool — sel[g, v, t, dx] means block row t holds
-             the dx tap's neighbor (row ids are compared against the
-             expected consecutive ids, so gaps in the active set are
-             handled exactly).
+    Returns (q, hit, m01) — see _xblock_hits; feed to gather_gemm_xblocks,
+    which re-aligns block rows to taps by rank, handling gaps in the
+    active set exactly.
     """
     nx, ny, nz = grid
     n_cells = nx * ny * nz
@@ -277,15 +316,8 @@ def subm_xblock_table(ids, mask, grid):
     tid_c = linearize(tz, ty, x[None, :], grid)                   # center id
     base = jnp.where(valid_c, tid_c - 1, n_cells)
     q = jnp.clip(merged_searchsorted(ids, base), 0, v - 1)
-    ids_ext = jnp.concatenate(
-        [ids, jnp.full((3,), -(2 ** 30), ids.dtype)])
-    rid = _gather_rows3(ids_ext[:, None], q)[..., 0]              # (9, V, 3)
-    exp = base[..., None] + jnp.arange(3, dtype=ids.dtype)        # (9, V, 3)
-    xok = jnp.stack([x - 1 >= 0, jnp.ones_like(mask),
-                     x + 1 < nx], axis=-1)                        # (V, 3)
-    sel = (rid[..., :, None] == exp[..., None, :])                # t vs dx
-    sel = sel & valid_c[..., None, None] & xok[None, :, None, :]
-    return q, sel
+    xok = (x - 1 >= 0, jnp.ones_like(mask), x + 1 < nx)
+    return _xblock_hits(ids, base, q, valid_c, xok)
 
 
 def strided_xblock_table(in_ids, in_mask, out_ids, out_mask, grid,
@@ -294,7 +326,7 @@ def strided_xblock_table(in_ids, in_mask, out_ids, out_mask, grid,
     and (dz, dy) group, the three x taps read input ids
     base + {0, 1, 2} with base = linearize(oz*s - p + dz, oy*s - p + dy,
     ox*s - p) — consecutive, so the same block-gather trick as
-    subm_xblock_table applies.  Returns (q (9, Vout), sel (9, Vout, 3, 3));
+    subm_xblock_table applies.  Returns (q, hit, m01) — see _xblock_hits;
     feed to gather_gemm_xblocks.
     """
     sz, sy, sx = _as3(stride)
@@ -322,28 +354,30 @@ def strided_xblock_table(in_ids, in_mask, out_ids, out_mask, grid,
     base = jnp.where(valid_c, linearize(iz, iy, ix0[None, :], grid),
                      n_cells)
     q = jnp.clip(merged_searchsorted(in_ids, base), 0, v_in - 1)
-    ids_ext = jnp.concatenate(
-        [in_ids, jnp.full((3,), -(2 ** 30), in_ids.dtype)])
-    rid = _gather_rows3(ids_ext[:, None], q)[..., 0]              # (9, Vo, 3)
-    exp = base[..., None] + jnp.arange(3, dtype=in_ids.dtype)
-    xok = jnp.stack([(ix0 >= 0) & (ix0 < nx),
-                     (ix0 + 1 >= 0) & (ix0 + 1 < nx),
-                     (ix0 + 2 >= 0) & (ix0 + 2 < nx)], axis=-1)   # (Vout, 3)
-    sel = (rid[..., :, None] == exp[..., None, :])
-    sel = sel & valid_c[..., None, None] & xok[None, :, None, :]
-    return q, sel
+    xok = ((ix0 >= 0) & (ix0 < nx),
+           (ix0 + 1 >= 0) & (ix0 + 1 < nx),
+           (ix0 + 2 >= 0) & (ix0 + 2 < nx))
+    return _xblock_hits(in_ids, base, q, valid_c, xok)
 
 
-def gather_gemm_xblocks(features, q, sel, weights):
+def gather_gemm_xblocks(features, q, hit, m01, weights):
     """Sparse-conv contraction over an x-block table (subm_xblock_table /
     strided_xblock_table): the row gathers are HBM-latency-bound (~40 ns
     per random row measured, independent of row width), so fetching each
     (dz, dy) group's three x taps as one contiguous 3-row block cuts the
     random-access count 3x.
 
+    Rows of a gathered block are aligned to taps by RANK arithmetic: block
+    row t holds expected id base+d iff t equals the count of present ids
+    among {base, base+1, ..., base+d-1} (the table is sorted unique and q
+    is the left insertion point of base), so tap d selects row
+    m0+...+m(d-1) via lane-wise selects — no (t, d) selector tensor, no
+    (..., 3, C) intermediates (both tile-pad catastrophically; see
+    _xblock_hits).
+
     Args:
         features: (V, Cin) (invalid slots hold zeros);
-        q: (9, Vout) block starts; sel: (9, Vout, 3, 3) row->tap selector;
+        q/hit/m01: table from subm_xblock_table / strided_xblock_table;
         weights: (27, Cin, Cout) in (dz, dy)-major dx-minor tap order.
     Returns: (Vout, Cout).
     """
@@ -354,10 +388,22 @@ def gather_gemm_xblocks(features, q, sel, weights):
         gdtype = GATHER_COMPUTE_DTYPE
     ext = jnp.concatenate(
         [features, jnp.zeros((3, cin), features.dtype)]).astype(gdtype)
-    blocks = _gather_rows3(ext, q)                        # (9, Vo, 3, Cin)
-    per_tap = jnp.einsum('gvtc,gvtd->gvdc', blocks, sel.astype(gdtype))
-    w = weights.reshape(g, 3, cin, -1).astype(gdtype)
-    return jnp.einsum('gvdc,gdco->vo', per_tap, w,
+    blocks = _gather_rows3(ext, q)                        # (9, Vo, 3*Cin)
+    b0 = blocks[..., :cin]
+    b1 = blocks[..., cin:2 * cin]
+    b2 = blocks[..., 2 * cin:]
+    m0, m1 = m01[0], m01[1]                               # (9, Vo) bool
+    zero = jnp.zeros((), gdtype)
+    pt0 = jnp.where(hit[0][..., None], b0, zero)
+    pt1 = jnp.where(hit[1][..., None],
+                    jnp.where(m0[..., None], b1, b0), zero)
+    n01 = m0.astype(jnp.int32) + m1.astype(jnp.int32)
+    row2 = jnp.where((n01 == 2)[..., None], b2,
+                     jnp.where((n01 == 1)[..., None], b1, b0))
+    pt2 = jnp.where(hit[2][..., None], row2, zero)
+    per_tap = jnp.concatenate([pt0, pt1, pt2], axis=-1)   # (9, Vo, 3*Cin)
+    w = weights.reshape(g, 3 * cin, -1).astype(gdtype)
+    return jnp.einsum('gvk,gko->vo', per_tap, w,
                       preferred_element_type=jnp.float32
                       ).astype(features.dtype)
 
