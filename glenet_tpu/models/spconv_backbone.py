@@ -41,15 +41,15 @@ class SubMConvBN(nn.Module):
     @nn.compact
     def __call__(self, feats, nbr_idx, mask, train: bool = True):
         """feats (B, V, Cin), mask (B, V); nbr_idx is either a (B, K, V)
-        row table (sparse.subm_neighbor_table) or an x-block (q, hit, m01)
+        row table (sparse.subm_neighbor_table) or an x-block (q, tbl)
         tuple (sparse.subm_xblock_table — 3x fewer random HBM rows)."""
         cin = feats.shape[-1]
         w = self.param('kernel', nn.initializers.lecun_normal(),
                        (self.kernel_volume, cin, self.features))
         if isinstance(nbr_idx, tuple):
             out = jax.vmap(sparse.gather_gemm_xblocks,
-                           in_axes=(0, 0, 0, 0, None))(
-                feats, nbr_idx[0], nbr_idx[1], nbr_idx[2], w)
+                           in_axes=(0, 0, 0, None))(
+                feats, nbr_idx[0], nbr_idx[1], w)
         else:
             out = jax.vmap(sparse.gather_gemm, in_axes=(0, 0, None))(
                 feats, nbr_idx, w)
@@ -84,10 +84,10 @@ class SparseConvBN(nn.Module):
                 ids_s, mask_s, grid, self.kernel_size, self.stride,
                 self.padding, self.out_cap)
             if (kz, ky, kx) == (3, 3, 3):
-                q, hit, m01 = sparse.strided_xblock_table(
+                q, tbl = sparse.strided_xblock_table(
                     ids_s, mask_s, out_ids, out_mask, grid,
                     self.stride, self.padding)
-                out = sparse.gather_gemm_xblocks(feats_s, q, hit, m01, w)
+                out = sparse.gather_gemm_xblocks(feats_s, q, tbl, w)
             else:
                 table = sparse.strided_gather_table(
                     ids_s, mask_s, out_ids, out_mask, grid,

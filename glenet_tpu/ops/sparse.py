@@ -253,20 +253,21 @@ def _xblock_hits(ids, base, q, valid_c, xok):
     """Shared tail of the x-block table builders: per-tap hit masks and the
     raw-membership ranks that align gathered block rows to taps.
 
-    All outputs keep the big V axis MINOR — a (9, V, 3)-shaped bool/int
-    tensor tile-pads its last dim 3 -> 128 on TPU (measured 42.7x HBM
-    blowup at Waymo scale, the round-3 GLENet_S_waymo compile OOM), so
-    every per-tap quantity here is a (9, V) slice stacked on a LEADING
-    axis of 3.
+    Everything is packed into ONE (9, V) int32 bitmask plane — bit d
+    (d = 0..2) is tap d's hit, bits 3/4 are the RAW table membership of
+    expected ids base+0 / base+1 (unmasked; they rank gathered block rows
+    to taps).  Packing matters twice on TPU: a (9, V, 3) tensor tile-pads
+    its minor 3 -> 128 (measured 42.7x HBM blowup, the first Waymo-scale
+    OOM), and even leading-axis stacks of (9, V) planes got materialized
+    by XLA as an s32[..., 2]-minor jvp residual (64x padding, the second
+    OOM).  One plane with V minor has no small axis anywhere.
 
     Args: ids (V,) sorted table; base (9, V) first-tap ids (n_cells
     sentinel when invalid); q (9, V) block starts; valid_c (9, V) bool;
     xok: 3-tuple of (V,) bool per-tap x-range masks.
     Returns:
         q:   (9, V) int32 block-start slots;
-        hit: (3, 9, V) bool — tap d of group g at site v has a live input;
-        m01: (2, 9, V) bool — RAW table membership of expected ids base+0
-             and base+1 (unmasked; ranks gathered block rows to taps).
+        tbl: (9, V) int32 bitmask as above.
     """
     v = ids.shape[0]
     ids_ext = jnp.concatenate([ids, jnp.full((2,), -(2 ** 30), ids.dtype)])
@@ -281,10 +282,12 @@ def _xblock_hits(ids, base, q, valid_c, xok):
     m0 = member(base)
     m1 = member(base + 1)
     m2 = member(base + 2)
-    hit = jnp.stack([m0 & valid_c & xok[0][None, :],
-                     m1 & valid_c & xok[1][None, :],
-                     m2 & valid_c & xok[2][None, :]])
-    return q, hit, jnp.stack([m0, m1])
+    tbl = ((m0 & valid_c & xok[0][None, :]).astype(jnp.int32)
+           | (m1 & valid_c & xok[1][None, :]).astype(jnp.int32) << 1
+           | (m2 & valid_c & xok[2][None, :]).astype(jnp.int32) << 2
+           | m0.astype(jnp.int32) << 3
+           | m1.astype(jnp.int32) << 4)
+    return q, tbl
 
 
 def subm_xblock_table(ids, mask, grid):
@@ -298,7 +301,7 @@ def subm_xblock_table(ids, mask, grid):
 
     Args: ids (V,) sorted linear ids (n_cells sentinel in invalid slots);
           mask (V,) bool.
-    Returns (q, hit, m01) — see _xblock_hits; feed to gather_gemm_xblocks,
+    Returns (q, tbl) — see _xblock_hits; feed to gather_gemm_xblocks,
     which re-aligns block rows to taps by rank, handling gaps in the
     active set exactly.
     """
@@ -326,7 +329,7 @@ def strided_xblock_table(in_ids, in_mask, out_ids, out_mask, grid,
     and (dz, dy) group, the three x taps read input ids
     base + {0, 1, 2} with base = linearize(oz*s - p + dz, oy*s - p + dy,
     ox*s - p) — consecutive, so the same block-gather trick as
-    subm_xblock_table applies.  Returns (q, hit, m01) — see _xblock_hits;
+    subm_xblock_table applies.  Returns (q, tbl) — see _xblock_hits;
     feed to gather_gemm_xblocks.
     """
     sz, sy, sx = _as3(stride)
@@ -360,7 +363,7 @@ def strided_xblock_table(in_ids, in_mask, out_ids, out_mask, grid,
     return _xblock_hits(in_ids, base, q, valid_c, xok)
 
 
-def gather_gemm_xblocks(features, q, hit, m01, weights):
+def gather_gemm_xblocks(features, q, tbl, weights):
     """Sparse-conv contraction over an x-block table (subm_xblock_table /
     strided_xblock_table): the row gathers are HBM-latency-bound (~40 ns
     per random row measured, independent of row width), so fetching each
@@ -377,7 +380,8 @@ def gather_gemm_xblocks(features, q, hit, m01, weights):
 
     Args:
         features: (V, Cin) (invalid slots hold zeros);
-        q/hit/m01: table from subm_xblock_table / strided_xblock_table;
+        q/tbl: table from subm_xblock_table / strided_xblock_table
+            (tbl bits: 0..2 per-tap hits, 3/4 raw membership ranks);
         weights: (27, Cin, Cout) in (dz, dy)-major dx-minor tap order.
     Returns: (Vout, Cout).
     """
@@ -392,15 +396,18 @@ def gather_gemm_xblocks(features, q, hit, m01, weights):
     b0 = blocks[..., :cin]
     b1 = blocks[..., cin:2 * cin]
     b2 = blocks[..., 2 * cin:]
-    m0, m1 = m01[0], m01[1]                               # (9, Vo) bool
+    hit0 = (tbl & 1) > 0                                  # (9, Vo) bool
+    hit1 = (tbl & 2) > 0
+    hit2 = (tbl & 4) > 0
+    m0 = (tbl & 8) > 0
+    n01 = ((tbl >> 3) & 1) + ((tbl >> 4) & 1)
     zero = jnp.zeros((), gdtype)
-    pt0 = jnp.where(hit[0][..., None], b0, zero)
-    pt1 = jnp.where(hit[1][..., None],
+    pt0 = jnp.where(hit0[..., None], b0, zero)
+    pt1 = jnp.where(hit1[..., None],
                     jnp.where(m0[..., None], b1, b0), zero)
-    n01 = m0.astype(jnp.int32) + m1.astype(jnp.int32)
     row2 = jnp.where((n01 == 2)[..., None], b2,
                      jnp.where((n01 == 1)[..., None], b1, b0))
-    pt2 = jnp.where(hit[2][..., None], row2, zero)
+    pt2 = jnp.where(hit2[..., None], row2, zero)
     per_tap = jnp.concatenate([pt0, pt1, pt2], axis=-1)   # (9, Vo, 3*Cin)
     w = weights.reshape(g, 3 * cin, -1).astype(gdtype)
     return jnp.einsum('gvk,gko->vo', per_tap, w,

@@ -293,8 +293,8 @@ def test_xblock_matches_row_table(rng, f32_gather):
 
     nbr = sparse.subm_neighbor_table(ids, mask, GRID, 3)
     want = np.asarray(sparse.gather_gemm(feats, nbr, w))
-    q, hit, m01 = sparse.subm_xblock_table(ids, mask, GRID)
-    got = np.asarray(sparse.gather_gemm_xblocks(feats, q, hit, m01, w))
+    q, tbl = sparse.subm_xblock_table(ids, mask, GRID)
+    got = np.asarray(sparse.gather_gemm_xblocks(feats, q, tbl, w))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
     for stride, padding in [(2, 1), (2, (0, 1, 1)), (1, 1)]:
@@ -303,8 +303,8 @@ def test_xblock_matches_row_table(rng, f32_gather):
         table = sparse.strided_gather_table(
             ids, mask, out_ids, out_mask, GRID, 3, stride, padding)
         want = np.asarray(sparse.gather_gemm(feats, table, w))
-        q, hit, m01 = sparse.strided_xblock_table(
+        q, tbl = sparse.strided_xblock_table(
             ids, mask, out_ids, out_mask, GRID, stride, padding)
-        got = np.asarray(sparse.gather_gemm_xblocks(feats, q, hit, m01, w))
+        got = np.asarray(sparse.gather_gemm_xblocks(feats, q, tbl, w))
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5,
                                    err_msg=f'stride={stride} pad={padding}')
