@@ -235,18 +235,22 @@ def gather_gemm(features, nbr_idx, weights):
 
 def _gather_rows3(ext, q):
     """ext (N, C); q (...,) int32 block starts — returns (..., 3*C) with
-    rows ext[q], ext[q+1], ext[q+2] fetched as ONE contiguous-slice gather
-    (one random HBM access per 3 rows instead of 3).  The three rows come
-    back MERGED into the minor axis: a (..., 3, C) result would tile-pad
-    (3, C) -> (4, 128) on TPU (measured 5.3x HBM blowup at Waymo scale);
-    (..., 3*C) pads only 3C -> ceil(3C/128)*128."""
-    n, c = ext.shape
-    qs = (q.reshape(-1, 1) * c).astype(jnp.int32)
-    dn = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,))
-    out = jax.lax.gather(ext.reshape(-1), qs, dn, slice_sizes=(3 * c,),
-                         mode='clip')
-    return out.reshape(q.shape + (3 * c,))
+    rows ext[q], ext[q+1], ext[q+2] fetched as ONE row gather of a
+    pre-merged (N-2, 3C) operand (one random HBM access per 3 rows
+    instead of 3).  Two layout traps shape this:
+
+    - the three rows come back MERGED into the minor axis — a (..., 3, C)
+      result would tile-pad (3, C) -> (8, 128) (measured 5.3x HBM blowup
+      at Waymo scale);
+    - the merge happens in the OPERAND (three shifted sequential-slice
+      concats, pure bandwidth), NOT via a custom strided `lax.gather`
+      with explicit slice_sizes: under vmap the latter materializes its
+      batched start-indices as s32[B, Q, 2], whose minor-2 axis tile-pads
+      64x (measured 2.40G for 38M of indices — a Waymo-scale OOM all by
+      itself).  `jnp.take` row gathers lower cleanly.
+    """
+    ext3 = jnp.concatenate([ext[:-2], ext[1:-1], ext[2:]], axis=-1)
+    return jnp.take(ext3, q, axis=0, mode='clip')
 
 
 def _xblock_hits(ids, base, q, valid_c, xok):
