@@ -124,7 +124,7 @@ def main():
         enc = po['point_box_preds']
         labels = jnp.argmax(po['point_cls_preds'], axis=-1) + 1
         ptboxes = np.asarray(jax.vmap(
-            lambda e, x, lab: det._pt_coder.decode(e, x, lab))(
+            lambda e, x, lab: det.point_coder.decode(e, x, lab))(
             enc, jnp.asarray(coords), labels))
         props = jax.device_get(out['proposals'])
         for s in range(2):
@@ -139,16 +139,25 @@ def main():
                   flush=True)
 
     t0 = time.time()
-    for i in range(n_steps):
-        variables, opt, loss, mets = step(variables, opt, batch,
-                                          jax.random.PRNGKey(i))
-        if i % 100 == 0 or i == n_steps - 1:
-            m = {k: round(float(x), 3) for k, x in mets.items()}
-            print(f'step {i}: loss={float(loss):.3f} {m}', flush=True)
+    ckpt = Path('/tmp/pa2free_probe_vars.msgpack')
+    if ckpt.exists() and '--resume' in sys.argv:
+        from flax import serialization
+        variables = serialization.from_bytes(variables, ckpt.read_bytes())
+        print(f'resumed trained variables from {ckpt}', flush=True)
+    else:
+        for i in range(n_steps):
+            variables, opt, loss, mets = step(variables, opt, batch,
+                                              jax.random.PRNGKey(i))
+            if i % 100 == 0 or i == n_steps - 1:
+                m = {k: round(float(x), 3) for k, x in mets.items()}
+                print(f'step {i}: loss={float(loss):.3f} {m}', flush=True)
 
-    from glenet_tpu.train.bn_refresh import refresh_detector_stats
-    variables = refresh_detector_stats(det, variables, [batch] * 8)
-    print('bn refreshed; staged IoUs (eval mode):', flush=True)
+        from glenet_tpu.train.bn_refresh import refresh_detector_stats
+        variables = refresh_detector_stats(det, variables, [batch] * 8)
+        from flax import serialization
+        ckpt.write_bytes(serialization.to_bytes(variables))
+        print(f'bn refreshed; saved {ckpt}; staged IoUs (eval mode):',
+              flush=True)
     stage_probe(variables, 'eval+bn')
     print('total', round(time.time() - t0, 1), 's')
 
