@@ -41,75 +41,8 @@ def box_to_bev_corners(boxes):
     return jnp.stack([x, y], axis=-1) + boxes[..., None, 0:2]
 
 
-def _clipped_edge_cross(ax, ay, ax1, ay1, bx, by, bx1, by1):
-    """Shoelace contribution of each A-edge's subsegment inside quad B.
-
-    For CCW convex B, a point P is inside iff cross(B_{e+1}-B_e, P-B_e) >= 0
-    for all 4 edges.  Along the segment P(t) = A_i + t*(A_{i+1}-A_i) each
-    constraint is affine in t, so the inside interval is
-    [max(entering t), min(exiting t)] — four divisions and min/max, no
-    vertex lists.  The Green's-theorem boundary integral of the clipped
-    segment from Q0 = P(t_lo) to Q1 = P(t_hi) is cross(Q0, Q1) (the usual
-    shoelace term), so summing over all edges of both quads gives twice the
-    intersection area.
-
-    Args: (4, N) SoA corner coords for A and its rolled copy; same for B.
-    Returns: (N,) sum over the 4 A-edges of cross(Q0, Q1).
-    """
-    total = 0.0
-    for i in range(4):
-        px0, py0 = ax[i], ay[i]
-        dx, dy = ax1[i] - px0, ay1[i] - py0
-        t_lo = jnp.zeros_like(px0)
-        t_hi = jnp.ones_like(px0)
-        empty = jnp.zeros_like(px0, dtype=bool)
-        shared = jnp.zeros_like(px0, dtype=bool)
-        for e in range(4):
-            ex = bx1[e] - bx[e]
-            ey = by1[e] - by[e]
-            # f(t) = f0 + t * df >= 0 is "inside" this half-plane, with
-            # f = cross(edge, P - B_e) = ex*(Py-By) - ey*(Px-Bx)
-            f0 = ex * (py0 - by[e]) - ey * (px0 - bx[e])
-            df = ex * dy - ey * dx
-            parallel = jnp.abs(df) < _EPS
-            dsafe = jnp.where(parallel,
-                              jnp.where(df < 0, -_EPS, _EPS), df)
-            t_star = -f0 / dsafe
-            # df > 0: f increasing -> entering at t_star; df < 0: exiting
-            entering = df > 0
-            t_lo = jnp.where(entering & ~parallel,
-                             jnp.maximum(t_lo, t_star), t_lo)
-            t_hi = jnp.where(~entering & ~parallel,
-                             jnp.minimum(t_hi, t_star), t_hi)
-            # parallel & strictly outside -> empty
-            empty = empty | (parallel & (f0 < -_EPS))
-            # edge lies exactly ON this boundary line: both quads claim
-            # the segment, so it must be half-weighted (identical boxes
-            # would otherwise double-count; exactly abutting boxes cancel
-            # via the two opposite traversal directions)
-            shared = shared | (parallel & (jnp.abs(f0) <= _EPS))
-        valid = (t_hi > t_lo) & ~empty
-        t_lo = jnp.clip(t_lo, 0.0, 1.0)
-        t_hi = jnp.clip(t_hi, 0.0, 1.0)
-        q0x = px0 + t_lo * dx
-        q0y = py0 + t_lo * dy
-        q1x = px0 + t_hi * dx
-        q1y = py0 + t_hi * dy
-        w = jnp.where(shared, 0.5, 1.0)
-        total = total + jnp.where(valid, w * (q0x * q1y - q1x * q0y), 0.0)
-    return total
-
-
 def _overlap_soa(ax, ay, bx, by):
     """Overlap areas for N quad pairs in SoA layout.
-
-    Green's-theorem formulation: area(A ∩ B) = 1/2 * sum of shoelace terms
-    cross(Q0, Q1) over every boundary subsegment of the intersection, which
-    is exactly (A-edges clipped to B) + (B-edges clipped to A).  Unlike the
-    classic candidate-vertex method (16 edge intersections + 8 inside
-    tests + atan2 angle sort — the reference CUDA approach and this file's
-    round-1/2 form), there is NO per-pair sort and NO transcendental:
-    measured ~20x less VPU work per pair.
 
     Args: ax, ay, bx, by: (4, N) corner coordinates (CCW).
     Returns: (N,) overlap areas.
@@ -118,9 +51,70 @@ def _overlap_soa(ax, ay, bx, by):
     ay1 = jnp.roll(ay, -1, axis=0)
     bx1 = jnp.roll(bx, -1, axis=0)
     by1 = jnp.roll(by, -1, axis=0)
-    s = (_clipped_edge_cross(ax, ay, ax1, ay1, bx, by, bx1, by1)
-         + _clipped_edge_cross(bx, by, bx1, by1, ax, ay, ax1, ay1))
-    return jnp.clip(0.5 * s, 0.0, None)
+
+    cand_x, cand_y, cand_v = [], [], []
+
+    # (a) 16 edge-edge intersections (static unroll — 16 lane-parallel ops)
+    for i in range(4):
+        rx = ax1[i] - ax[i]
+        ry = ay1[i] - ay[i]
+        for j in range(4):
+            sx = bx1[j] - bx[j]
+            sy = by1[j] - by[j]
+            denom = rx * sy - ry * sx
+            qpx = bx[j] - ax[i]
+            qpy = by[j] - ay[i]
+            dsafe = jnp.where(jnp.abs(denom) < _EPS, _EPS, denom)
+            t = (qpx * sy - qpy * sx) / dsafe
+            u = (qpx * ry - qpy * rx) / dsafe
+            valid = ((jnp.abs(denom) > _EPS)
+                     & (t >= 0.0) & (t <= 1.0) & (u >= 0.0) & (u <= 1.0))
+            cand_x.append(ax[i] + t * rx)
+            cand_y.append(ay[i] + t * ry)
+            cand_v.append(valid)
+
+    # (b) corners of one quad inside the other
+    def inside(px, py, qx, qy, qx1, qy1):
+        ins = None
+        for e in range(4):
+            cr = ((qx1[e] - qx[e]) * (py - qy[e])
+                  - (qy1[e] - qy[e]) * (px - qx[e]))
+            ok = cr >= -_INSIDE_EPS
+            ins = ok if ins is None else (ins & ok)
+        return ins
+
+    for i in range(4):
+        cand_x.append(ax[i])
+        cand_y.append(ay[i])
+        cand_v.append(inside(ax[i], ay[i], bx, by, bx1, by1))
+    for j in range(4):
+        cand_x.append(bx[j])
+        cand_y.append(by[j])
+        cand_v.append(inside(bx[j], by[j], ax, ay, ax1, ay1))
+
+    px = jnp.stack(cand_x)                                      # (24, N)
+    py = jnp.stack(cand_y)
+    v = jnp.stack(cand_v)
+    vf = v.astype(px.dtype)
+
+    count = vf.sum(axis=0)                                      # (N,)
+    denom_c = jnp.clip(count, 1.0, None)
+    cx = (px * vf).sum(axis=0) / denom_c
+    cy = (py * vf).sum(axis=0) / denom_c
+
+    ang = jnp.where(v, jnp.arctan2(py - cy, px - cx), 1e9)      # invalid last
+    _, px_s, py_s = jax.lax.sort((ang, px, py), dimension=0, num_keys=1)
+
+    # close the polygon: invalid tail slots -> copy of the first vertex
+    slot = jnp.arange(px.shape[0], dtype=count.dtype)[:, None]
+    live = slot < count[None, :]
+    px_s = jnp.where(live, px_s, px_s[0][None])
+    py_s = jnp.where(live, py_s, py_s[0][None])
+
+    x_n = jnp.roll(px_s, -1, axis=0)
+    y_n = jnp.roll(py_s, -1, axis=0)
+    area = 0.5 * jnp.abs((px_s * y_n - x_n * py_s).sum(axis=0))
+    return jnp.where(count >= 3, area, 0.0)
 
 
 def overlap_bev_corners(ca, cb):

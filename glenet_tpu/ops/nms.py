@@ -54,57 +54,51 @@ _BLK = 64
 
 
 def _topk_boxes(boxes, scores, pre_max):
-    # lax.top_k, not argsort: a full 211k-element sort (SECOND's anchor
-    # count) costs hundreds of ms on TPU; top_k is a partial reduction
-    scores_s, order = jax.lax.top_k(scores, pre_max)
-    return boxes[order], scores_s, order
+    order = jnp.argsort(-scores)[:pre_max]
+    return boxes[order], scores[order], order
 
 
 def greedy_keep(supp_mat, live):
     """Greedy NMS keep flags over score-sorted candidates.
 
-    Round-3 formulation: the sequential greedy keep vector K is the UNIQUE
-    fixpoint of
-
-        F(K)_j = live_j  &  not OR_{i<j} (K_i & supp_mat[i, j])
-
-    (uniqueness by induction on j: K_1 is forced, K_j is a function of
-    K_{<j}).  Iterating K <- F(K) from K0 = live makes every position whose
-    suppression-chain depth is <= t correct and stable after t iterations,
-    so a while_loop that exits on K == F(K) is EXACT and terminates in at
-    most P iterations (typical scenes: < 16 — chains of mutually
-    overlapping detections are short).  Each iteration is one (1, P) x
-    (P, P) bf16 matmul on the MXU; the round-2 version walked 64-row
-    blocks with a 64-step unrolled scalar chain (~2 ms per block on chip —
-    128 ms at P = 4096; this form measures ~1-2 ms).
-
     Args:
         supp_mat: (P, P) bool — True where box row would suppress box col
-                  (diagonal True is fine: only i < j entries are read).
+                  (diagonal True is fine: self-suppression is ignored).
         live: (P,) bool — candidates above the score threshold.
     Returns:
         keep: (P,) bool.
     """
-    p = supp_mat.shape[0]
-    # strict upper triangle: row i may only suppress later-ranked col j
-    cols = jax.lax.broadcasted_iota(jnp.int32, (p, p), 1)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (p, p), 0)
-    sm = (supp_mat & (rows < cols)).astype(jnp.bfloat16)
+    p0 = supp_mat.shape[0]
+    p = p0
+    if p % _BLK:
+        pad = _BLK - p % _BLK
+        supp_mat = jnp.pad(supp_mat, ((0, pad), (0, pad)))
+        live = jnp.pad(live, (0, pad))
+        p += pad
 
-    def cond(state):
-        k, prev, it = state
-        return jnp.any(k != prev) & (it < p)
+    def body(b, state):
+        suppressed, keep = state
+        base = b * _BLK
+        rows = jax.lax.dynamic_slice(supp_mat, (base, 0), (_BLK, p))
+        sq = jax.lax.dynamic_slice(supp_mat, (base, base), (_BLK, _BLK))
+        sup_blk = jax.lax.dynamic_slice(suppressed, (base,), (_BLK,))
+        live_blk = jax.lax.dynamic_slice(live, (base,), (_BLK,))
+        sup_local = jnp.zeros((_BLK,), bool)
+        keeps = []
+        for j in range(_BLK):                     # unrolled: static indices
+            kj = live_blk[j] & ~sup_blk[j] & ~sup_local[j]
+            keeps.append(kj)
+            sup_local = sup_local | (kj & sq[j])
+        keep_blk = jnp.stack(keeps)
+        new_sup = (keep_blk[:, None] & rows).any(axis=0)
+        suppressed = suppressed | new_sup
+        keep = jax.lax.dynamic_update_slice(keep, keep_blk, (base,))
+        return suppressed, keep
 
-    def body(state):
-        k, _, it = state
-        suppressed = (k.astype(jnp.bfloat16)[None, :] @ sm)[0] > 0.5
-        return live & ~suppressed, k, it + 1
-
-    k0 = live
-    k1 = live & ~((k0.astype(jnp.bfloat16)[None, :] @ sm)[0] > 0.5)
-    state = (k1, k0, jnp.int32(1))
-    keep, _, _ = jax.lax.while_loop(cond, body, state)
-    return keep
+    suppressed = jnp.zeros((p,), bool)
+    keep = jnp.zeros((p,), bool)
+    _, keep = jax.lax.fori_loop(0, p // _BLK, body, (suppressed, keep))
+    return keep[:p0]
 
 
 _LAZY_BLK = 256
@@ -332,42 +326,29 @@ def variance_voting_nms(boxes, scores, variance, iou_threshold,
     boxes_s, scores_s, order = _topk_boxes(boxes, scores, pre_max)
     var_s = variance[order]
     live = scores_s >= score_threshold
+    iou = iou3d.boxes_iou_bev_blocked(boxes_s, boxes_s)        # (P, P)
+    supp = iou > iou_threshold
+    keep = greedy_keep(supp, live)
 
-    # keep pass: lazy kept-buffer for large P (the round-2 full (P, P)
-    # rotated-IoU matrix measured 186 ms at P=4096 on chip), dense fixpoint
-    # below the lazy block size.
-    if pre_max <= 2 * _LAZY_BLK:
-        iou_full = iou3d.boxes_iou_bev_blocked(boxes_s, boxes_s)
-        keep = greedy_keep(iou_full > iou_threshold, live)
-    else:
-        keep = _greedy_keep_lazy(boxes_s, live, iou_threshold, post_max)
-    keep_idx, keep_valid = _first_k_kept(keep, post_max)
-    kept_boxes = boxes_s[keep_idx]                             # (K, 7)
-
-    # voting is computed against the KEPT set only: cluster(j) = first kept
-    # box with IoU(orig) > thresh (kept boxes cluster to themselves — a
-    # kept box overlaps no earlier kept box, and IoU(j, j) = 1).  The
-    # (P, K) IoU is 8x less polygon-clip work than the (P, P) matrix at
-    # 4096/500 and identical in semantics: only kept rows of the round-2
-    # member matrix ever contributed to the vote.
+    # suppressor(j): first kept box overlapping j — the greedy iteration at
+    # which j joined a cluster.  kept boxes are their own suppressor.
     p = boxes_s.shape[0]
-    k = post_max
-    iou_pk = iou3d.boxes_iou_bev_blocked(boxes_s, kept_boxes)  # (P, K)
-    member = (iou_pk > iou_threshold) & live[:, None] & keep_valid[None, :]
-    slot_of = jnp.where(member, jnp.arange(k)[None, :], k).min(axis=1)
-    in_cluster = slot_of < k
-    slot_safe = jnp.where(in_cluster, slot_of, 0)
+    member = keep[:, None] & supp & live[None, :]              # (P, P)
+    supp_by = jnp.where(member, jnp.arange(p)[:, None], p)
+    suppressor = supp_by.min(axis=0)                           # (P,), p=none
+    in_cluster = suppressor < p
+    sup_safe = jnp.where(in_cluster, suppressor, 0)
 
     # heading alignment toward the suppressor (top) box
     h = boxes_s[:, 6]
-    h_top = kept_boxes[slot_safe, 6]
+    h_top = h[sup_safe]
     dh = h - h_top
     shift = jnp.where(jnp.abs(dh) >= np.pi * 3 / 2,
                       jnp.where(h_top > 0, 2 * np.pi, -2 * np.pi), 0.0)
     h_shifted = h + shift
     member_boxes = jnp.concatenate([boxes_s[:, :6], h_shifted[:, None]], 1)
 
-    iou_to_top = jnp.take_along_axis(iou_pk, slot_safe[:, None], axis=1)[:, 0]
+    iou_to_top = jnp.take_along_axis(iou, sup_safe[None, :], axis=0)[0]
     w_iou = jnp.exp(-(1.0 - iou_to_top) ** 2 / std_iou_sigma)[:, None]
     pi = w_iou / var_s                                         # (P, 7)
     heading_ok = jnp.abs(h_shifted - h_top) < np.pi / 4
@@ -375,11 +356,12 @@ def variance_voting_nms(boxes, scores, variance, iou_threshold,
     pi = jnp.where(in_cluster[:, None], pi, 0.0)
 
     # cluster-segment sums -> voted box per kept slot
-    num = jnp.zeros((k + 1, 7)).at[slot_safe].add(
-        jnp.where(in_cluster[:, None], pi * member_boxes, 0.0), mode='drop')
-    den = jnp.zeros((k + 1, 7)).at[slot_safe].add(pi, mode='drop')
-    voted_all = num[:k] / jnp.clip(den[:k], 1e-20, None)
+    num = jnp.zeros((p + 1, 7)).at[sup_safe].add(
+        jnp.where(in_cluster[:, None], pi * member_boxes, 0.0))
+    den = jnp.zeros((p + 1, 7)).at[sup_safe].add(pi)
+    voted_all = num[:p] / jnp.clip(den[:p], 1e-20, None)
 
-    voted = jnp.where(keep_valid[:, None], voted_all, 0.0)
+    keep_idx, keep_valid = _first_k_kept(keep, post_max)
+    voted = jnp.where(keep_valid[:, None], voted_all[keep_idx], 0.0)
     kept_scores = jnp.where(keep_valid, scores_s[keep_idx], 0.0)
     return order[keep_idx], keep_valid, voted, kept_scores
