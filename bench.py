@@ -79,12 +79,16 @@ def bench_train(cfg_path, batches):
 
     params, mstate, opt_state, loss = train_step(
         params, mstate, opt_state, batches[0], key)   # warm (cache hit)
-    jax.block_until_ready(loss)
+    jax.block_until_ready(params)
     t0 = time.time()
     for i, b in enumerate(batches):
         params, mstate, opt_state, loss = train_step(
             params, mstate, opt_state, b, jax.random.PRNGKey(i))
-    jax.block_until_ready(loss)
+    # block on the full params tree: over the axon tunnel,
+    # block_until_ready on a SCALAR (loss) returns without waiting for
+    # execution (see tools/bench_model.py header) — timing against it
+    # measures dispatch rate, not execution
+    jax.block_until_ready(params)
     dt_step = (time.time() - t0) / len(batches)
     mfu = flops / dt_step / V5E_PEAK_FLOPS if flops else 0.0
     return BATCH / dt_step, mfu, flops
@@ -110,7 +114,9 @@ def bench_predict(cfg_path, batches):
     t0 = time.time()
     outs = []
     for b in batches:
-        outs.append(predict(variables, b)['final_scores'])
+        outs.append(predict(variables, b))   # keep FULL output trees: a
+        # small/scalar leaf alone can report ready before execution over
+        # the axon tunnel (see tools/bench_model.py header)
     jax.block_until_ready(outs)
     dt = time.time() - t0
     return len(batches) * BATCH / dt

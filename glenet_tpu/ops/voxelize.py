@@ -22,6 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import sparse
+
 
 def _select_voxels_first_occurrence(vid_sorted, sort_idx, n_cells: int,
                                     max_voxels: int):
@@ -102,8 +104,10 @@ def voxelize(points, points_mask, voxel_size, pc_range, grid_size,
     rank = jnp.arange(vid_sorted.shape[0]) - run_start
 
     # voxel slot per sorted point (selection is a subset of the ids, so
-    # membership must be checked, not just the insertion position)
-    slot = jnp.searchsorted(uniq, vid_sorted)
+    # membership must be checked, not just the insertion position).
+    # merged_searchsorted: one bitonic sort instead of jnp.searchsorted's
+    # HBM-latency-bound binary-search while-loop (~10 ms/step saved).
+    slot = sparse.merged_searchsorted(uniq, vid_sorted[None, :])[0]
     slot_c = jnp.clip(slot, 0, max_voxels - 1)
     member = uniq[slot_c] == vid_sorted
     valid_pt = ((vid_sorted < n_cells) & member
@@ -167,7 +171,7 @@ def voxelize_dynamic(points, points_mask, voxel_size, pc_range, grid_size,
     uniq = _select_voxels_first_occurrence(vid[sort_idx], sort_idx,
                                            n_cells, max_voxels)
     voxel_mask = uniq < n_cells
-    slot = jnp.searchsorted(uniq, vid)
+    slot = sparse.merged_searchsorted(uniq, vid[None, :])[0]
     hit = (slot < max_voxels) & in_range
     hit = hit & (jnp.where(hit, uniq[jnp.clip(slot, 0, max_voxels - 1)],
                            n_cells) == vid)

@@ -1,8 +1,20 @@
 """Full-model step timing on the real chip: SECOND / GLENet-S / GLENet-VR
 forward, train step, and predict at KITTI scale with synthetic clustered
-scenes.  Chains N steps inside jit where possible; otherwise does one
-warm-up then times a loop of dispatches (the axon tunnel adds ~30 ms per
-round trip — reported numbers subtract nothing, so they are upper bounds).
+scenes.
+
+All timing loops are DEPENDENCY-CARRIED: iteration i+1's input depends on
+iteration i's output, so the chip cannot overlap or elide executions.  The
+round-2 version timed overlapped dispatches of identical programs, which
+measured dispatch rate, not execution — producing numbers up to 2000x
+faster than physics allows (see PERF_NOTES.md "Round-2 numbers retracted").
+Every measurement is cross-checked against compiled.cost_analysis() FLOPs:
+implied FLOP/s above the chip's bf16 peak raises an AssertionError.
+
+Sync rule (measured, axon tunnel): jax.block_until_ready on a SCALAR
+output returns ~instantly without waiting for execution (0.12 ms reported
+for a 1.93 TFLOP program); blocking on a LARGE output array agrees with
+the device trace and with a host fetch to <5%.  So every timing loop here
+blocks on the full output tree, never on a loss/carry scalar alone.
 
 Usage: python tools/bench_model.py [second|glenet_vr|all]
 """
@@ -16,6 +28,29 @@ import numpy as np
 
 BATCH = 2
 MAX_POINTS = 32768
+V5E_PEAK_FLOPS = 197e12    # bf16 peak, one v5e chip
+
+
+def _flops_of(lowered_jit, *args):
+    """cost_analysis() FLOPs of a jitted fn at the given args (0 if the
+    backend reports none)."""
+    compiled = lowered_jit.lower(*args).compile()
+    cost = compiled.cost_analysis()
+    cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+    return float(cost.get('flops', 0.0)) if cost else 0.0
+
+
+def _check_physical(name, what, dt, flops):
+    """Assert a measured step time is physically possible on one chip."""
+    if flops <= 0 or dt <= 0:
+        return
+    implied = flops / dt
+    assert implied <= V5E_PEAK_FLOPS, (
+        f'[{name}] {what}: {dt * 1e3:.2f} ms for {flops / 1e12:.2f} TFLOP '
+        f'implies {implied / 1e12:.0f} TFLOP/s > {V5E_PEAK_FLOPS / 1e12:.0f}'
+        f' TFLOP/s peak — the timing loop is broken (overlap/elision)')
+    print(f'[{name}] {what}: {flops / 1e12:.2f} TFLOP/step, '
+          f'MFU {implied / V5E_PEAK_FLOPS:.3f}')
 
 
 def make_scene(rng, n_points=MAX_POINTS):
@@ -88,53 +123,75 @@ def bench_one(cfg_path, name):
         return (optax.apply_updates(params, updates), new_state, opt_state2,
                 loss)
 
+    # carry: a scalar derived from iteration i's output, mixed (at 1e-30
+    # scale — numerically invisible) into iteration i+1's points so the
+    # executions form a dependency chain the chip cannot overlap or elide
     @jax.jit
-    def fwd(variables, batch):
-        return det.net.apply(variables, batch['points'],
-                             batch['points_mask'], train=False)
+    def fwd(variables, batch, carry):
+        pts = batch['points'] + carry * 1e-30
+        out = det.net.apply(variables, pts, batch['points_mask'],
+                            train=False)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return out, jnp.tanh(jnp.sum(leaf))
 
-    predict = jax.jit(lambda v, b: det.predict(v, b))
+    @jax.jit
+    def predict(variables, batch, carry):
+        pts = batch['points'] + carry * 1e-30
+        b = dict(batch, points=pts)
+        out = det.predict(variables, b)
+        return out, jnp.tanh(jnp.sum(out['final_scores']))
 
     # -- forward -------------------------------------------------------------
+    carry = jnp.zeros(())
     t0 = time.perf_counter()
-    out = jax.block_until_ready(fwd(variables, batch))
+    out, carry = fwd(variables, batch, carry)
+    jax.block_until_ready(carry)
     print(f'[{name}] fwd compile+run: {time.perf_counter() - t0:.1f}s')
     n = 10
+    fwd_flops = _flops_of(fwd, variables, batch, carry)
     t0 = time.perf_counter()
     for _ in range(n):
-        out = fwd(variables, batch)
-    jax.block_until_ready(out)
+        out, carry = fwd(variables, batch, carry)
+    jax.block_until_ready(out)          # NOT the carry scalar — see header
     dt = (time.perf_counter() - t0) / n
     print(f'[{name}] fwd: {dt * 1e3:.1f} ms/batch '
           f'({BATCH / dt:.1f} scans/s)')
+    _check_physical(name, 'fwd', dt, fwd_flops)
 
     # -- predict -------------------------------------------------------------
+    carry = jnp.zeros(())
     t0 = time.perf_counter()
-    out = jax.block_until_ready(predict(variables, batch))
+    out, carry = predict(variables, batch, carry)
+    jax.block_until_ready(carry)
     print(f'[{name}] predict compile+run: {time.perf_counter() - t0:.1f}s')
+    pred_flops = _flops_of(predict, variables, batch, carry)
     t0 = time.perf_counter()
     for _ in range(n):
-        out = predict(variables, batch)
-    jax.block_until_ready(out)
+        out, carry = predict(variables, batch, carry)
+    jax.block_until_ready(out)          # NOT the carry scalar — see header
     dt = (time.perf_counter() - t0) / n
     print(f'[{name}] predict: {dt * 1e3:.1f} ms/batch '
           f'({BATCH / dt:.1f} scans/s)')
+    _check_physical(name, 'predict', dt, pred_flops)
 
-    # -- train step ----------------------------------------------------------
+    # -- train step (dependency-carried via params feedback) -----------------
     key = jax.random.PRNGKey(1)
     t0 = time.perf_counter()
     params, mstate, opt_state, loss = train_step(
         params, mstate, opt_state, batch, key)
     jax.block_until_ready(loss)
     print(f'[{name}] train compile+run: {time.perf_counter() - t0:.1f}s')
+    train_flops = _flops_of(train_step, params, mstate, opt_state, batch,
+                            key)
     t0 = time.perf_counter()
     for i in range(n):
         params, mstate, opt_state, loss = train_step(
             params, mstate, opt_state, batch, jax.random.PRNGKey(i))
-    jax.block_until_ready(loss)
+    jax.block_until_ready(params)       # NOT the loss scalar — see header
     dt = (time.perf_counter() - t0) / n
     print(f'[{name}] train step: {dt * 1e3:.1f} ms/batch '
           f'({BATCH / dt:.1f} scans/s), loss={float(loss):.3f}')
+    _check_physical(name, 'train', dt, train_flops)
 
 
 def main():
