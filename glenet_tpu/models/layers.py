@@ -17,6 +17,17 @@ import jax.numpy as jnp
 BN_EPS = 1e-3
 BN_MOMENTUM = 0.01  # torch convention: new = (1 - m) * old + m * batch
 
+# Trace-time hook: when True every MaskedBatchNorm normalizes with its
+# RUNNING stats even under train=True (stats are not updated).  Used by the
+# convergence harnesses' frozen-BN fine-tune tail: tiny-dataset overfit
+# makes train-mode (batch moments) and eval-mode (dataset moments)
+# normalize each scene differently, which flips direction-bin argmaxes and
+# depresses APH while IoU-based AP stays high (the round-3 Waymo APH
+# artifact).  Freezing BN for a short parameter-adaptation phase makes
+# train and eval numerically identical.  Set it BEFORE jitting a step —
+# it is read at trace time.
+BN_FORCE_RUNNING_STATS = False
+
 
 class MaskedBatchNorm(nn.Module):
     """BatchNorm over axis(-1)-channels with an optional validity mask.
@@ -34,6 +45,7 @@ class MaskedBatchNorm(nn.Module):
     def __call__(self, x, mask=None, use_running_average: Optional[bool] = None):
         use_ra = nn.merge_param(
             'use_running_average', self.use_running_average, use_running_average)
+        use_ra = use_ra or BN_FORCE_RUNNING_STATS
         features = x.shape[-1]
         ra_mean = self.variable('batch_stats', 'mean',
                                 lambda: jnp.zeros((features,), jnp.float32))

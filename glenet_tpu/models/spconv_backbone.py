@@ -47,12 +47,14 @@ class SubMConvBN(nn.Module):
         w = self.param('kernel', nn.initializers.lecun_normal(),
                        (self.kernel_volume, cin, self.features))
         if isinstance(nbr_idx, tuple):
-            out = jax.vmap(sparse.gather_gemm_xblocks,
-                           in_axes=(0, 0, 0, None))(
+            # batched custom-VJP variant: the row gathers run as ONE flat
+            # take over the batch-merged operand (2.5x the vmapped form)
+            # and backward-input runs as a flipped-tap GATHER over the
+            # same table instead of an HBM scatter-add (ops/sparse.py)
+            out = sparse.subm_gather_gemm_xblocks_b(
                 feats, nbr_idx[0], nbr_idx[1], w)
         else:
-            out = jax.vmap(sparse.gather_gemm, in_axes=(0, 0, None))(
-                feats, nbr_idx, w)
+            out = sparse.gather_gemm_b(feats, nbr_idx, w)
         out = MaskedBatchNorm(axis_name=self.axis_name)(
             out, mask=mask, use_running_average=not train)
         if self.use_relu:
@@ -79,23 +81,32 @@ class SparseConvBN(nn.Module):
 
         kz, ky, kx = sparse._as3(self.kernel_size)
 
-        def one(ids_s, mask_s, feats_s):
-            out_ids, out_mask = sparse.strided_output_sites(
-                ids_s, mask_s, grid, self.kernel_size, self.stride,
-                self.padding, self.out_cap)
-            if (kz, ky, kx) == (3, 3, 3):
+        # tables per-sample (vmapped); the gather+GEMM contraction batched
+        # (one flat take over the batch-merged operand — ops/sparse.py)
+        if (kz, ky, kx) == (3, 3, 3):
+            def tables(ids_s, mask_s):
+                out_ids, out_mask = sparse.strided_output_sites(
+                    ids_s, mask_s, grid, self.kernel_size, self.stride,
+                    self.padding, self.out_cap)
                 q, tbl = sparse.strided_xblock_table(
                     ids_s, mask_s, out_ids, out_mask, grid,
                     self.stride, self.padding)
-                out = sparse.gather_gemm_xblocks(feats_s, q, tbl, w)
-            else:
+                return out_ids, out_mask, q, tbl
+
+            out_ids, out_mask, q, tbl = jax.vmap(tables)(ids, mask)
+            out = sparse.gather_gemm_xblocks_b(feats, q, tbl, w)
+        else:
+            def tables(ids_s, mask_s):
+                out_ids, out_mask = sparse.strided_output_sites(
+                    ids_s, mask_s, grid, self.kernel_size, self.stride,
+                    self.padding, self.out_cap)
                 table = sparse.strided_gather_table(
                     ids_s, mask_s, out_ids, out_mask, grid,
                     self.kernel_size, self.stride, self.padding)
-                out = sparse.gather_gemm(feats_s, table, w)
-            return out, out_ids, out_mask
+                return out_ids, out_mask, table
 
-        out, out_ids, out_mask = jax.vmap(one)(ids, mask, feats)
+            out_ids, out_mask, table = jax.vmap(tables)(ids, mask)
+            out = sparse.gather_gemm_b(feats, table, w)
         out = MaskedBatchNorm(axis_name=self.axis_name)(
             out, mask=out_mask, use_running_average=not train)
         out = nn.relu(out)
@@ -124,14 +135,13 @@ class InverseConvBN(nn.Module):
         w = self.param('kernel', nn.initializers.lecun_normal(),
                        (k_vol, cin, self.features))
 
-        def one(f_ids, f_mask, c_ids, c_mask, c_feats):
-            table = sparse.inverse_gather_table(
+        def one(f_ids, f_mask, c_ids, c_mask):
+            return sparse.inverse_gather_table(
                 f_ids, f_mask, c_ids, c_mask, fine_grid,
                 self.kernel_size, self.stride, self.padding)
-            return sparse.gather_gemm(c_feats, table, w)
 
-        out = jax.vmap(one)(fine_ids, fine_mask, coarse_ids, coarse_mask,
-                            coarse_feats)
+        table = jax.vmap(one)(fine_ids, fine_mask, coarse_ids, coarse_mask)
+        out = sparse.gather_gemm_b(coarse_feats, table, w)
         out = MaskedBatchNorm(axis_name=self.axis_name)(
             out, mask=fine_mask, use_running_average=not train)
         out = nn.relu(out)

@@ -64,7 +64,10 @@ def out_grid_size(grid, kernel_size, stride, padding) -> Tuple[int, int, int]:
     return (ox, oy, oz)
 
 
-def merged_searchsorted(ids, queries):
+_I32_INF = np.int32(2 ** 31 - 1)
+
+
+def merged_searchsorted(ids, queries, want_vals: int = 0):
     """Insertion positions ('left') of each row of `queries` into sorted
     `ids`, computed with ONE combined sort instead of per-element binary
     search (jnp.searchsorted's while-loop of row gathers runs at HBM
@@ -74,11 +77,20 @@ def merged_searchsorted(ids, queries):
     Each query's position is independent (count of table keys before it in
     the combined order), so query rows need not be sorted.
 
+    want_vals = k (0..3) additionally returns the table VALUES at the
+    insertion point, vals[d] == ids[pos + d] (I32_INF when pos + d is past
+    the table) — WITHOUT any gather: each table row carries its d-th
+    successor's value through the sort, and a reverse cummin over the
+    merged order propagates "the next table row at-or-after me" to every
+    query.  This is what lets the x-block table builds drop their 3x (9, V)
+    single-lane id lookups (measured ~12-17 ns/element, ~266 ms/step of
+    the round-4 GLENet-VR predict trace).
+
     Args:
         ids: (V,) sorted ascending.
         queries: (Q, V) arbitrary.
     Returns:
-        (Q, V) int32 positions in [0, V].
+        (Q, V) int32 positions in [0, V], or (pos, [v0, v1, v2][:want_vals]).
     """
     q, nq = queries.shape
     nt = ids.shape[0]
@@ -89,10 +101,86 @@ def merged_searchsorted(ids, queries):
                            jnp.zeros(q * nq, jnp.int32)])
     payload = jnp.concatenate([jnp.full((nt,), q * nq, jnp.int32),
                                jnp.arange(q * nq, dtype=jnp.int32)])
-    _, st, sp = jax.lax.sort((keys, tag, payload), num_keys=2)
+    carried = []
+    for d in range(want_vals):
+        tv = ids if d == 0 else jnp.concatenate(
+            [ids[d:], jnp.full((d,), _I32_INF, ids.dtype)])
+        carried.append(jnp.concatenate(
+            [tv, jnp.zeros(q * nq, ids.dtype)]))
+    srt = jax.lax.sort((keys, tag, payload, *carried), num_keys=2)
+    st, sp = srt[1], srt[2]
     pos = jnp.cumsum(st) - st
-    out = jnp.zeros(q * nq + 1, jnp.int32).at[sp].set(pos.astype(jnp.int32))
-    return out[:q * nq].reshape(q, nq)
+    outs = [pos.astype(jnp.int32)]
+    for d in range(want_vals):
+        masked = jnp.where(st == 1, srt[3 + d], _I32_INF)
+        # associative_scan lowers to log2(N) shifted-min passes;
+        # lax.cummin lowered to a ~24 ns/element serial fusion (measured
+        # 460 ms/step across the three big table builds)
+        outs.append(jax.lax.associative_scan(jnp.minimum, masked,
+                                             reverse=True))
+    # independent 1-D scatters: a single batched (k, N) scatter along axis
+    # 1 lowers to a ~37 ns/element serial fusion (measured 460 ms/step);
+    # the plain rank-1 permutation scatters are cheap
+    res = [jnp.zeros(q * nq + 1, jnp.int32).at[sp].set(o)[:q * nq]
+           .reshape(q, nq) for o in outs]
+    return res[0] if want_vals == 0 else tuple(res)
+
+
+_POS_BITS = 20          # packed layout: pos | d0 << 20 | d1 << 22 | d2 << 24
+_POS_MASK = (1 << _POS_BITS) - 1
+
+
+def merged_searchsorted_deltas(ids, queries, n_deltas: int = 3):
+    """merged_searchsorted specialised for the table builders: returns
+    (pos, d0[, d1, d2]) with dk = clamp(ids[pos + k] - query, 0, 3) —
+    enough to decide membership of query + 0/1/2 without any id gathers.
+
+    Cost structure vs merged_searchsorted(want_vals=3):
+      - the table/query tag is folded into the sort key's low bit
+        (key * 2 + tag; queries sort before equal table keys), dropping
+        one sort operand;
+      - pos and the three 2-bit deltas pack into ONE int32
+        (pos | d0<<20 | d1<<22 | d2<<24), so ONE permutation scatter maps
+        results back to query order instead of four (~15-18 ms each at
+        level-2/3 scale in the round-4 trace).
+
+    Requires len(ids) < 2^20 per-sample table slots (asserted) and
+    keys * 2 within int32 (KITTI/Waymo grids: n_cells ~9.3e7 * 2 ok).
+    """
+    q, nq = queries.shape
+    nt = ids.shape[0]
+    assert nt < (1 << _POS_BITS), nt
+    keys = jnp.concatenate([ids, queries.reshape(-1)])
+    key2 = keys * 2 + jnp.concatenate(
+        [jnp.ones(nt, jnp.int32), jnp.zeros(q * nq, jnp.int32)])
+    payload = jnp.concatenate([jnp.full((nt,), q * nq, jnp.int32),
+                               jnp.arange(q * nq, dtype=jnp.int32)])
+    carried = []
+    for d in range(n_deltas):
+        tv = ids if d == 0 else jnp.concatenate(
+            [ids[d:], jnp.full((d,), _I32_INF, ids.dtype)])
+        carried.append(jnp.concatenate(
+            [tv, jnp.zeros(q * nq, ids.dtype)]))
+    srt = jax.lax.sort((key2, payload, *carried), num_keys=1)
+    sk, sp = srt[0], srt[1]
+    st = sk & 1                                    # tag: 1 = table row
+    pos = (jnp.cumsum(st) - st).astype(jnp.int32)
+    skey = sk >> 1                                 # original key
+    packed = pos
+    for d in range(n_deltas):
+        vd = jax.lax.associative_scan(
+            jnp.minimum, jnp.where(st == 1, srt[2 + d], _I32_INF),
+            reverse=True)
+        # clamp(vd - key, 0, 3): vd >= key always ('left' insertion), and
+        # values > key + 2 are equivalent for membership
+        delta = jnp.clip(vd - skey, 0, 3)
+        packed = packed | delta << (_POS_BITS + 2 * d)
+    out = jnp.zeros(q * nq + 1, jnp.int32).at[sp].set(packed)[:q * nq]
+    out = out.reshape(q, nq)
+    res = [out & _POS_MASK]
+    for d in range(n_deltas):
+        res.append((out >> (_POS_BITS + 2 * d)) & 3)
+    return tuple(res)
 
 
 def subm_neighbor_table(ids, mask, grid, kernel_size=3):
@@ -233,6 +321,32 @@ def gather_gemm(features, nbr_idx, weights):
     return acc.astype(features.dtype)
 
 
+def _take_rows_merged(ext, q):
+    """ext (B, N, C); q (B, ...) int32 row ids in [0, N) -> (B, ..., C).
+
+    ONE flat row gather of the batch-merged operand instead of a vmapped
+    per-sample take: measured 2.5x faster at conv3_down scale (26.5 ->
+    10.4 ms for 2.88M rows; tools/bench_gather_forms.py).  XLA lowers the
+    batched (vmapped) gather onto a slower path than the plain rank-1
+    row gather."""
+    b, n, c = ext.shape
+    off = jnp.arange(b, dtype=q.dtype).reshape(
+        (b,) + (1,) * (q.ndim - 1)) * n
+    flat = jnp.take(ext.reshape(b * n, c), (q + off).reshape(-1), axis=0,
+                    mode='clip')
+    return flat.reshape(q.shape + (c,))
+
+
+def _take_ids_merged(ids_ext, q):
+    """ids_ext (B, N) int32; q (B, ...) -> (B, ...): batch-merged flat
+    single-lane lookup (measured 1.4x the vmapped form)."""
+    b, n = ids_ext.shape
+    off = jnp.arange(b, dtype=q.dtype).reshape(
+        (b,) + (1,) * (q.ndim - 1)) * n
+    return jnp.take(ids_ext.reshape(-1), (q + off).reshape(-1),
+                    mode='clip').reshape(q.shape)
+
+
 def _gather_rows3(ext, q):
     """ext (N, C); q (...,) int32 block starts — returns (..., 3*C) with
     rows ext[q], ext[q+1], ext[q+2] fetched as ONE row gather of a
@@ -253,9 +367,14 @@ def _gather_rows3(ext, q):
     return jnp.take(ext3, q, axis=0, mode='clip')
 
 
-def _xblock_hits(ids, base, q, valid_c, xok):
+def _xblock_hits(d0, d1, d2, valid_c, xok):
     """Shared tail of the x-block table builders: per-tap hit masks and the
     raw-membership ranks that align gathered block rows to taps.
+
+    d0/d1/d2 are clamp(ids[pos + k] - base, 0, 3) from
+    merged_searchsorted_deltas — membership of base + d among the table is
+    any delta == d.  (These replaced three (9, V) single-lane id lookups,
+    measured ~266 ms/step across levels in the round-4 predict trace.)
 
     Everything is packed into ONE (9, V) int32 bitmask plane — bit d
     (d = 0..2) is tap d's hit, bits 3/4 are the RAW table membership of
@@ -266,32 +385,23 @@ def _xblock_hits(ids, base, q, valid_c, xok):
     by XLA as an s32[..., 2]-minor jvp residual (64x padding, the second
     OOM).  One plane with V minor has no small axis anywhere.
 
-    Args: ids (V,) sorted table; base (9, V) first-tap ids (n_cells
-    sentinel when invalid); q (9, V) block starts; valid_c (9, V) bool;
+    Args: d0/d1/d2 (9, V) int32 deltas in [0, 3]; valid_c (9, V) bool;
     xok: 3-tuple of (V,) bool per-tap x-range masks.
     Returns:
-        q:   (9, V) int32 block-start slots;
         tbl: (9, V) int32 bitmask as above.
     """
-    v = ids.shape[0]
-    ids_ext = jnp.concatenate([ids, jnp.full((2,), -(2 ** 30), ids.dtype)])
-    # three single-row lookups of the small (V,) id table — no minor-3 dim
-    r0 = jnp.take(ids_ext, q, mode='clip')
-    r1 = jnp.take(ids_ext, q + 1, mode='clip')
-    r2 = jnp.take(ids_ext, q + 2, mode='clip')
+    def member(d):
+        return (d0 == d) | (d1 == d) | (d2 == d)
 
-    def member(e):
-        return (r0 == e) | (r1 == e) | (r2 == e)
-
-    m0 = member(base)
-    m1 = member(base + 1)
-    m2 = member(base + 2)
+    m0 = member(0)
+    m1 = member(1)
+    m2 = member(2)
     tbl = ((m0 & valid_c & xok[0][None, :]).astype(jnp.int32)
            | (m1 & valid_c & xok[1][None, :]).astype(jnp.int32) << 1
            | (m2 & valid_c & xok[2][None, :]).astype(jnp.int32) << 2
            | m0.astype(jnp.int32) << 3
            | m1.astype(jnp.int32) << 4)
-    return q, tbl
+    return tbl
 
 
 def subm_xblock_table(ids, mask, grid):
@@ -322,9 +432,10 @@ def subm_xblock_table(ids, mask, grid):
                & (tz >= 0) & (tz < nz) & (ty >= 0) & (ty < ny))   # (9, V)
     tid_c = linearize(tz, ty, x[None, :], grid)                   # center id
     base = jnp.where(valid_c, tid_c - 1, n_cells)
-    q = jnp.clip(merged_searchsorted(ids, base), 0, v - 1)
+    pos, d0, d1, d2 = merged_searchsorted_deltas(ids, base)
+    q = jnp.clip(pos, 0, v - 1)
     xok = (x - 1 >= 0, jnp.ones_like(mask), x + 1 < nx)
-    return _xblock_hits(ids, base, q, valid_c, xok)
+    return q, _xblock_hits(d0, d1, d2, valid_c, xok)
 
 
 def strided_xblock_table(in_ids, in_mask, out_ids, out_mask, grid,
@@ -360,19 +471,23 @@ def strided_xblock_table(in_ids, in_mask, out_ids, out_mask, grid,
                & (iz >= 0) & (iz < nz) & (iy >= 0) & (iy < ny))   # (9, Vout)
     base = jnp.where(valid_c, linearize(iz, iy, ix0[None, :], grid),
                      n_cells)
-    q = jnp.clip(merged_searchsorted(in_ids, base), 0, v_in - 1)
+    pos, d0, d1, d2 = merged_searchsorted_deltas(in_ids, base)
+    q = jnp.clip(pos, 0, v_in - 1)
     xok = ((ix0 >= 0) & (ix0 < nx),
            (ix0 + 1 >= 0) & (ix0 + 1 < nx),
            (ix0 + 2 >= 0) & (ix0 + 2 < nx))
-    return _xblock_hits(in_ids, base, q, valid_c, xok)
+    return q, _xblock_hits(d0, d1, d2, valid_c, xok)
 
 
-def gather_gemm_xblocks(features, q, tbl, weights):
-    """Sparse-conv contraction over an x-block table (subm_xblock_table /
-    strided_xblock_table): the row gathers are HBM-latency-bound (~40 ns
-    per random row measured, independent of row width), so fetching each
-    (dz, dy) group's three x taps as one contiguous 3-row block cuts the
-    random-access count 3x.
+def _gather_dtype(features):
+    if GATHER_COMPUTE_DTYPE is not None and features.dtype == jnp.float32:
+        return GATHER_COMPUTE_DTYPE
+    return features.dtype
+
+
+def _xblock_per_tap(features, q, tbl):
+    """The gather half of the x-block contraction: (9, Vo, 3*Cin) per-tap
+    operand in the gather compute dtype, zeros at tap misses.
 
     Rows of a gathered block are aligned to taps by RANK arithmetic: block
     row t holds expected id base+d iff t equals the count of present ids
@@ -381,19 +496,9 @@ def gather_gemm_xblocks(features, q, tbl, weights):
     m0+...+m(d-1) via lane-wise selects — no (t, d) selector tensor, no
     (..., 3, C) intermediates (both tile-pad catastrophically; see
     _xblock_hits).
-
-    Args:
-        features: (V, Cin) (invalid slots hold zeros);
-        q/tbl: table from subm_xblock_table / strided_xblock_table
-            (tbl bits: 0..2 per-tap hits, 3/4 raw membership ranks);
-        weights: (27, Cin, Cout) in (dz, dy)-major dx-minor tap order.
-    Returns: (Vout, Cout).
     """
     v, cin = features.shape
-    g, vo = q.shape
-    gdtype = features.dtype
-    if GATHER_COMPUTE_DTYPE is not None and features.dtype == jnp.float32:
-        gdtype = GATHER_COMPUTE_DTYPE
+    gdtype = _gather_dtype(features)
     ext = jnp.concatenate(
         [features, jnp.zeros((3, cin), features.dtype)]).astype(gdtype)
     blocks = _gather_rows3(ext, q)                        # (9, Vo, 3*Cin)
@@ -412,11 +517,196 @@ def gather_gemm_xblocks(features, q, tbl, weights):
     row2 = jnp.where((n01 == 2)[..., None], b2,
                      jnp.where((n01 == 1)[..., None], b1, b0))
     pt2 = jnp.where(hit2[..., None], row2, zero)
-    per_tap = jnp.concatenate([pt0, pt1, pt2], axis=-1)   # (9, Vo, 3*Cin)
+    return jnp.concatenate([pt0, pt1, pt2], axis=-1)      # (9, Vo, 3*Cin)
+
+
+def gather_gemm_xblocks(features, q, tbl, weights):
+    """Sparse-conv contraction over an x-block table (subm_xblock_table /
+    strided_xblock_table): the row gathers are HBM-latency-bound (~40 ns
+    per random row measured, independent of row width), so fetching each
+    (dz, dy) group's three x taps as one contiguous 3-row block cuts the
+    random-access count 3x.
+
+    Args:
+        features: (V, Cin) (invalid slots hold zeros);
+        q/tbl: table from subm_xblock_table / strided_xblock_table
+            (tbl bits: 0..2 per-tap hits, 3/4 raw membership ranks);
+        weights: (27, Cin, Cout) in (dz, dy)-major dx-minor tap order.
+    Returns: (Vout, Cout).
+    """
+    v, cin = features.shape
+    g, vo = q.shape
+    gdtype = _gather_dtype(features)
+    per_tap = _xblock_per_tap(features, q, tbl)           # (9, Vo, 3*Cin)
     w = weights.reshape(g, 3 * cin, -1).astype(gdtype)
     return jnp.einsum('gvk,gko->vo', per_tap, w,
                       preferred_element_type=jnp.float32
                       ).astype(features.dtype)
+
+
+def flip_tap_weights(weights):
+    """Transpose-conv weights for a (K, Cin, Cout) tap-major kernel: tap
+    k -> K-1-k (offset negation for the row-major centered tap order) and
+    channel axes swapped -> (K, Cout, Cin)."""
+    return jnp.flip(weights, axis=0).swapaxes(1, 2)
+
+
+@jax.custom_vjp
+def subm_gather_gemm_xblocks(features, q, tbl, weights):
+    """gather_gemm_xblocks for the SUBMANIFOLD case (in/out sites are the
+    same table) with a gather-only backward pass.
+
+    Default AD differentiates the forward's row gathers into HBM
+    scatter-adds (duplicate-index serialization).  For a submanifold 3^3
+    conv the transpose convolution runs over the SAME (q, tbl) table with
+    taps flipped (output row o reads input i = o + off_t  <=>  input row i
+    reads o = i + off_{flip(t)}; hit masks are symmetric because both sides
+    reduce to "both sites active"), so:
+
+        d_features = gather_gemm_xblocks(g, q, tbl, flip_tap_weights(W))
+        d_weights  = per_tap(features)^T @ g     (one regather + one GEMM)
+
+    — two gather passes, zero scatters.  Exactness vs default AD is
+    oracle-tested (tests/test_sparse.py grad parity).
+    """
+    return gather_gemm_xblocks(features, q, tbl, weights)
+
+
+def _subm_ggx_fwd(features, q, tbl, weights):
+    return (gather_gemm_xblocks(features, q, tbl, weights),
+            (features, q, tbl, weights))
+
+
+def _subm_ggx_bwd(res, g):
+    features, q, tbl, weights = res
+    cin = features.shape[-1]
+    ngrp = q.shape[0]
+    gdtype = _gather_dtype(features)
+    df = gather_gemm_xblocks(g.astype(features.dtype), q, tbl,
+                             flip_tap_weights(weights))
+    per_tap = _xblock_per_tap(features, q, tbl)           # (9, V, 3*Cin)
+    dw = jnp.einsum('gvk,vo->gko', per_tap, g.astype(gdtype),
+                    preferred_element_type=jnp.float32)
+    dw = dw.reshape(ngrp * 3, cin, -1).astype(weights.dtype)
+    return df, None, None, dw
+
+
+subm_gather_gemm_xblocks.defvjp(_subm_ggx_fwd, _subm_ggx_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Batched contractions: same math as the per-sample forms above, but the
+# row gathers run as ONE flat take over the batch-merged operand (2.5x
+# faster than vmapping the per-sample form; see _take_rows_merged).  Table
+# BUILDS stay per-sample (vmapped) — only the gather+GEMM is batched.
+# ---------------------------------------------------------------------------
+
+def _xblock_per_tap_b(features, q, tbl):
+    """Batched _xblock_per_tap: features (B, V, Cin), q/tbl (B, 9, Vo)
+    -> (B, 9, Vo, 3*Cin) in the gather compute dtype."""
+    b, v, cin = features.shape
+    gdtype = _gather_dtype(features)
+    ext = jnp.concatenate(
+        [features, jnp.zeros((b, 3, cin), features.dtype)],
+        axis=1).astype(gdtype)
+    ext3 = jnp.concatenate([ext[:, :-2], ext[:, 1:-1], ext[:, 2:]], axis=-1)
+    blocks = _take_rows_merged(ext3, q)                 # (B, 9, Vo, 3*Cin)
+    b0 = blocks[..., :cin]
+    b1 = blocks[..., cin:2 * cin]
+    b2 = blocks[..., 2 * cin:]
+    hit0 = (tbl & 1) > 0
+    hit1 = (tbl & 2) > 0
+    hit2 = (tbl & 4) > 0
+    m0 = (tbl & 8) > 0
+    n01 = ((tbl >> 3) & 1) + ((tbl >> 4) & 1)
+    zero = jnp.zeros((), gdtype)
+    pt0 = jnp.where(hit0[..., None], b0, zero)
+    pt1 = jnp.where(hit1[..., None],
+                    jnp.where(m0[..., None], b1, b0), zero)
+    row2 = jnp.where((n01 == 2)[..., None], b2,
+                     jnp.where((n01 == 1)[..., None], b1, b0))
+    pt2 = jnp.where(hit2[..., None], row2, zero)
+    return jnp.concatenate([pt0, pt1, pt2], axis=-1)    # (B, 9, Vo, 3*Cin)
+
+
+def gather_gemm_xblocks_b(features, q, tbl, weights):
+    """Batched gather_gemm_xblocks: features (B, V, Cin), q/tbl (B, 9, Vo),
+    weights (27, Cin, Cout) shared across the batch -> (B, Vo, Cout)."""
+    cin = features.shape[-1]
+    g = q.shape[1]
+    gdtype = _gather_dtype(features)
+    per_tap = _xblock_per_tap_b(features, q, tbl)
+    w = weights.reshape(g, 3 * cin, -1).astype(gdtype)
+    return jnp.einsum('bgvk,gko->bvo', per_tap, w,
+                      preferred_element_type=jnp.float32
+                      ).astype(features.dtype)
+
+
+@jax.custom_vjp
+def subm_gather_gemm_xblocks_b(features, q, tbl, weights):
+    """Batched subm_gather_gemm_xblocks: gather-only backward (flipped-tap
+    transpose conv over the same table; see subm_gather_gemm_xblocks)."""
+    return gather_gemm_xblocks_b(features, q, tbl, weights)
+
+
+def _subm_ggx_b_fwd(features, q, tbl, weights):
+    return (gather_gemm_xblocks_b(features, q, tbl, weights),
+            (features, q, tbl, weights))
+
+
+def _subm_ggx_b_bwd(res, g):
+    features, q, tbl, weights = res
+    cin = features.shape[-1]
+    ngrp = q.shape[1]
+    gdtype = _gather_dtype(features)
+    df = gather_gemm_xblocks_b(g.astype(features.dtype), q, tbl,
+                               flip_tap_weights(weights))
+    per_tap = _xblock_per_tap_b(features, q, tbl)       # (B, 9, V, 3*Cin)
+    dw = jnp.einsum('bgvk,bvo->gko', per_tap, g.astype(gdtype),
+                    preferred_element_type=jnp.float32)
+    dw = dw.reshape(ngrp * 3, cin, -1).astype(weights.dtype)
+    return df, None, None, dw
+
+
+subm_gather_gemm_xblocks_b.defvjp(_subm_ggx_b_fwd, _subm_ggx_b_bwd)
+
+
+def gather_gemm_b(features, nbr_idx, weights):
+    """Batched gather_gemm: features (B, V, Cin), nbr_idx (B, K, V) with V
+    as the padding row, weights (K, Cin, Cout) -> (B, V, Cout).  Same
+    budget-gated low-memory K-chunking as gather_gemm."""
+    b, v, cin = features.shape
+    k = nbr_idx.shape[1]
+    gdtype = _gather_dtype(features)
+    padded = jnp.concatenate(
+        [features, jnp.zeros((b, 1, cin), features.dtype)],
+        axis=1).astype(gdtype)
+    if b * k * v * cin * jnp.dtype(gdtype).itemsize <= GATHER_BYTES_BUDGET:
+        gathered = _take_rows_merged(padded, nbr_idx)    # (B, K, V, Cin)
+        return jnp.einsum('bkvc,kco->bvo', gathered,
+                          weights.astype(gdtype),
+                          preferred_element_type=jnp.float32
+                          ).astype(features.dtype)
+    chunk = max(1, GATHER_BYTES_BUDGET
+                // (b * v * cin * jnp.dtype(gdtype).itemsize))
+    n_chunks = -(-k // chunk)
+    pad_k = n_chunks * chunk - k
+    idx_p = jnp.concatenate(
+        [nbr_idx, jnp.full((b, pad_k, v), v, nbr_idx.dtype)], axis=1)
+    idx_p = idx_p.reshape(b, n_chunks, chunk, v).swapaxes(0, 1)
+    w_p = jnp.concatenate(
+        [weights, jnp.zeros((pad_k,) + weights.shape[1:], weights.dtype)]
+    ).reshape(n_chunks, chunk, cin, weights.shape[-1]).astype(gdtype)
+
+    def body(acc, args):
+        idx_c, w_c = args                     # (B, chunk, V), (chunk, ...)
+        g = _take_rows_merged(padded, idx_c)  # (B, chunk, V, Cin)
+        return acc + jnp.einsum('bkvc,kco->bvo', g, w_c,
+                                preferred_element_type=jnp.float32), None
+
+    acc = jnp.zeros((b, v, weights.shape[-1]), jnp.float32)
+    acc, _ = jax.lax.scan(body, acc, (idx_p, w_p))
+    return acc.astype(features.dtype)
 
 
 def strided_output_sites(ids, mask, grid, kernel_size, stride, padding,
@@ -531,9 +821,10 @@ def strided_gather_table(in_ids, in_mask, out_ids, out_mask, grid,
              & (iz >= 0) & (iz < nz) & (iy >= 0) & (iy < ny)
              & (ix >= 0) & (ix < nx))
     tid = jnp.where(valid, linearize(iz, iy, ix, grid), n_cells)
-    pos = jnp.clip(merged_searchsorted(in_ids, tid), 0, v_in - 1)
-    found = valid & (in_ids[pos] == tid) & (tid < n_cells)
-    return jnp.where(found, pos, v_in).astype(jnp.int32)
+    pos, d0 = merged_searchsorted_deltas(in_ids, tid, n_deltas=1)
+    found = valid & (d0 == 0) & (tid < n_cells)
+    return jnp.where(found, jnp.clip(pos, 0, v_in - 1),
+                     v_in).astype(jnp.int32)
 
 
 def inverse_gather_table(fine_ids, fine_mask, coarse_ids, coarse_mask,
@@ -570,10 +861,13 @@ def inverse_gather_table(fine_ids, fine_mask, coarse_ids, coarse_mask,
              & (oz >= 0) & (oz < onz) & (oy >= 0) & (oy < ony)
              & (ox >= 0) & (ox < onx))
     tid = jnp.where(valid, oz * (ony * onx) + oy * onx + ox, n_out_cells)
-    pos = jnp.clip(merged_searchsorted(coarse_ids, tid), 0, v_coarse - 1)
-    found = valid & (coarse_ids[pos] == tid) & (tid < n_out_cells) \
-        & coarse_mask[pos]
-    return jnp.where(found, pos, v_coarse).astype(jnp.int32)
+    pos, d0 = merged_searchsorted_deltas(coarse_ids, tid, n_deltas=1)
+    # a d0 == 0 match with tid < n_out_cells implies the slot is valid
+    # (invalid coarse slots hold the >= n_out_cells sentinel), so no
+    # coarse_mask[pos] lookup is needed
+    found = valid & (d0 == 0) & (tid < n_out_cells)
+    return jnp.where(found, jnp.clip(pos, 0, v_coarse - 1),
+                     v_coarse).astype(jnp.int32)
 
 
 def to_dense(features, ids, mask, grid):

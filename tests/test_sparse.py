@@ -308,3 +308,113 @@ def test_xblock_matches_row_table(rng, f32_gather):
         got = np.asarray(sparse.gather_gemm_xblocks(feats, q, tbl, w))
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5,
                                    err_msg=f'stride={stride} pad={padding}')
+
+
+def test_subm_custom_vjp_grad_parity(rng, f32_gather):
+    """subm_gather_gemm_xblocks's gather-only backward (flipped-tap
+    transpose conv over the same table) must match default AD of the plain
+    forward exactly — for d_features AND d_weights, under vmap."""
+    cin, cout = 4, 8
+    b_feats, b_q, b_tbl = [], [], []
+    for s in range(2):
+        feats, ids, mask = make_sparse(np.random.RandomState(100 + s),
+                                       40, 64, cin)
+        q, tbl = sparse.subm_xblock_table(ids, mask, GRID)
+        b_feats.append(feats)
+        b_q.append(q)
+        b_tbl.append(tbl)
+    feats = jnp.stack(b_feats)
+    q = jnp.stack(b_q)
+    tbl = jnp.stack(b_tbl)
+    w = jnp.asarray(rng.randn(27, cin, cout).astype(np.float32) * 0.1)
+    cot = jnp.asarray(rng.randn(2, 64, cout).astype(np.float32))
+
+    def loss(fn, feats, w):
+        out = jax.vmap(fn, in_axes=(0, 0, 0, None))(feats, q, tbl, w)
+        return jnp.sum(out * cot)
+
+    df_ref, dw_ref = jax.grad(
+        lambda f, w: loss(sparse.gather_gemm_xblocks, f, w),
+        argnums=(0, 1))(feats, w)
+    df, dw = jax.grad(
+        lambda f, w: loss(sparse.subm_gather_gemm_xblocks, f, w),
+        argnums=(0, 1))(feats, w)
+    np.testing.assert_allclose(np.asarray(df), np.asarray(df_ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref),
+                               rtol=1e-4, atol=1e-5)
+
+    out_ref = jax.vmap(sparse.gather_gemm_xblocks,
+                       in_axes=(0, 0, 0, None))(feats, q, tbl, w)
+    out = jax.vmap(sparse.subm_gather_gemm_xblocks,
+                   in_axes=(0, 0, 0, None))(feats, q, tbl, w)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_batched_contractions_match_vmapped(rng, f32_gather):
+    """gather_gemm_b / gather_gemm_xblocks_b / subm_gather_gemm_xblocks_b
+    (one flat batch-merged take) == vmap of the per-sample forms."""
+    cin, cout = 4, 8
+    b_feats, b_ids, b_mask = [], [], []
+    for s in range(2):
+        feats, ids, mask = make_sparse(np.random.RandomState(200 + s),
+                                       37 + s, 64, cin)
+        b_feats.append(feats)
+        b_ids.append(ids)
+        b_mask.append(mask)
+    feats = jnp.stack(b_feats)
+    ids = jnp.stack(b_ids)
+    mask = jnp.stack(b_mask)
+    w27 = jnp.asarray(rng.randn(27, cin, cout).astype(np.float32) * 0.1)
+
+    q, tbl = jax.vmap(lambda i, m: sparse.subm_xblock_table(i, m, GRID))(
+        ids, mask)
+    ref = jax.vmap(sparse.gather_gemm_xblocks,
+                   in_axes=(0, 0, 0, None))(feats, q, tbl, w27)
+    np.testing.assert_allclose(
+        np.asarray(sparse.gather_gemm_xblocks_b(feats, q, tbl, w27)),
+        np.asarray(ref), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(sparse.subm_gather_gemm_xblocks_b(feats, q, tbl, w27)),
+        np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+    nbr = jax.vmap(lambda i, m: sparse.subm_neighbor_table(
+        i, m, GRID, 3))(ids, mask)
+    ref2 = jax.vmap(sparse.gather_gemm, in_axes=(0, 0, None))(
+        feats, nbr, w27)
+    np.testing.assert_allclose(
+        np.asarray(sparse.gather_gemm_b(feats, nbr, w27)),
+        np.asarray(ref2), rtol=1e-5, atol=1e-6)
+
+    # batched custom-VJP grads == default AD of the vmapped plain form
+    cot = jnp.asarray(rng.randn(2, 64, cout).astype(np.float32))
+    df_ref, dw_ref = jax.grad(
+        lambda f, w: jnp.sum(jax.vmap(
+            sparse.gather_gemm_xblocks, in_axes=(0, 0, 0, None))(
+            f, q, tbl, w) * cot), argnums=(0, 1))(feats, w27)
+    df, dw = jax.grad(
+        lambda f, w: jnp.sum(
+            sparse.subm_gather_gemm_xblocks_b(f, q, tbl, w) * cot),
+        argnums=(0, 1))(feats, w27)
+    np.testing.assert_allclose(np.asarray(df), np.asarray(df_ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_gather_gemm_b_low_mem_path_matches(monkeypatch):
+    rng = np.random.RandomState(3)
+    cin, cout = 4, 8
+    feats, ids, mask = make_sparse(rng, 40, 64, cin)
+    feats = jnp.stack([feats, feats * 0.5])
+    ids = jnp.stack([ids, ids])
+    mask = jnp.stack([mask, mask])
+    w = jnp.asarray(rng.randn(27, cin, cout).astype(np.float32) * 0.1)
+    nbr = jax.vmap(lambda i, m: sparse.subm_neighbor_table(
+        i, m, GRID, 3))(ids, mask)
+    monkeypatch.setattr(sparse, 'GATHER_COMPUTE_DTYPE', None)
+    ref = np.asarray(sparse.gather_gemm_b(feats, nbr, w))
+    monkeypatch.setattr(sparse, 'GATHER_BYTES_BUDGET', 4096)
+    low = np.asarray(sparse.gather_gemm_b(feats, nbr, w))
+    np.testing.assert_allclose(low, ref, rtol=1e-4, atol=1e-5)

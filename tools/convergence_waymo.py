@@ -140,22 +140,17 @@ def main():
             print(f'level{lvl + 1} active sites max={mx} '
                   f'cap={caps[lvl]}{flag}', flush=True)
 
-    params, mstate, final_loss, t0 = run_overfit(det, batches, n_steps,
-                                                 peak_lr)
-
-    # exact BN stat re-estimation before eval-mode prediction: without it
-    # the running averages lag the overfit batch stats, which flips dir-bin
-    # argmaxes by pi and tanks APH while leaving AP (IoU-based) intact —
-    # the round-2 "Waymo APH gap" was exactly this harness artifact
-    # (convergence_ap.py has always refreshed; probe evidence in
-    # tools/scripts/mini_kl_heading.py: train-mode dir_acc 1.000 vs
-    # eval-mode 0.854 on the same params)
-    from glenet_tpu.train.bn_refresh import refresh_detector_stats
-    variables = refresh_detector_stats(
-        det, {'params': params, **mstate}, batches)
-    params = variables['params']
-    mstate = {k: v for k, v in variables.items() if k != 'params'}
-    print(f'bn stats refreshed over {len(batches)} batches', flush=True)
+    # bn_frozen_tail (argv[4], default 150): after the exact BN stat
+    # re-estimation run_overfit performs, fine-tune params with BN frozen
+    # to those dataset moments so train and eval normalize identically.
+    # Rationale: 16-scene overfit makes train-mode (batch-of-2 moments)
+    # and eval-mode (dataset moments) normalize each scene differently,
+    # which flips direction-bin argmaxes and tanks APH while IoU-based AP
+    # stays high (probe: tools/scripts/mini_kl_heading.py, train-mode
+    # dir_acc 1.000 vs eval-mode 0.854 on the same params).
+    bn_frozen_tail = int(sys.argv[4]) if len(sys.argv) > 4 else 150
+    params, mstate, final_loss, t0 = run_overfit(
+        det, batches, n_steps, peak_lr, bn_frozen_tail=bn_frozen_tail)
 
     predict = jax.jit(lambda v, b: det.predict(v, b))
     gt_annos, dt_annos = [], []
