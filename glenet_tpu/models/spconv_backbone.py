@@ -84,16 +84,13 @@ class SparseConvBN(nn.Module):
         # tables per-sample (vmapped); the gather+GEMM contraction batched
         # (one flat take over the batch-merged operand — ops/sparse.py)
         if (kz, ky, kx) == (3, 3, 3):
-            def tables(ids_s, mask_s):
-                out_ids, out_mask = sparse.strided_output_sites(
-                    ids_s, mask_s, grid, self.kernel_size, self.stride,
-                    self.padding, self.out_cap)
-                q, tbl = sparse.strided_xblock_table(
-                    ids_s, mask_s, out_ids, out_mask, grid,
-                    self.stride, self.padding)
-                return out_ids, out_mask, q, tbl
-
-            out_ids, out_mask, q, tbl = jax.vmap(tables)(ids, mask)
+            out_ids, out_mask = jax.vmap(
+                lambda i, m: sparse.strided_output_sites(
+                    i, m, grid, self.kernel_size, self.stride,
+                    self.padding, self.out_cap))(ids, mask)
+            q, tbl = sparse.strided_xblock_table_b(
+                ids, mask, out_ids, out_mask, grid, self.stride,
+                self.padding)
             out = sparse.gather_gemm_xblocks_b(feats, q, tbl, w)
         else:
             def tables(ids_s, mask_s):
@@ -276,8 +273,7 @@ class VoxelBackBone8x(nn.Module):
         ms = {}
 
         # --- level 1: conv_input + conv1 (shared subm neighbor table) ------
-        nbr1 = jax.vmap(
-            lambda i, m: sparse.subm_xblock_table(i, m, grid1))(ids, mask)
+        nbr1 = sparse.subm_xblock_table_b(ids, mask, grid1)
         def subm_unit(x, ch, nbr, m, name):
             """Plain subm conv-BN-ReLU, or a residual SparseBasicBlock
             (spconv_backbone.py:36-66) when self.residual."""
@@ -323,8 +319,7 @@ class VoxelBackBone8x(nn.Module):
         x, ids2, mask2, grid2 = SparseConvBN(
             c2, 3, 2, 1, out_cap=caps[1], axis_name=self.axis_name,
             name='conv2_down')(x, ids, mask, grid1, train=train)
-        nbr2 = jax.vmap(
-            lambda i, m: sparse.subm_xblock_table(i, m, grid2))(ids2, mask2)
+        nbr2 = sparse.subm_xblock_table_b(ids2, mask2, grid2)
         for j in range(self.subm_per_block[0]):
             x = subm_unit(x, c2, nbr2, mask2, f'conv2_{j}')
         ms['x_conv2'] = {'kind': 'sparse', 'features': x, 'ids': ids2,
@@ -422,9 +417,7 @@ class UNetV2(nn.Module):
         caps = sparse.level_caps(self.max_voxels)
 
         def make_nbr(ids, m, grid):
-            return jax.vmap(
-                lambda i, mm: sparse.subm_xblock_table(i, mm, grid))(
-                ids, m)
+            return sparse.subm_xblock_table_b(ids, m, grid)
 
         def subm(x, ch, nbr, m, name, relu=True):
             return SubMConvBN(ch, use_relu=relu, axis_name=self.axis_name,

@@ -438,6 +438,97 @@ def subm_xblock_table(ids, mask, grid):
     return q, _xblock_hits(d0, d1, d2, valid_c, xok)
 
 
+def subm_xblock_table_b(ids, mask, grid):
+    """Batched subm_xblock_table: ids/mask (B, V) -> q/tbl (B, 9, V).
+
+    When merge_kernel.ENABLED, positions + membership deltas come from
+    the Pallas merge-resolve kernel instead of the merged bitonic sort:
+    each tap group's expected ids are the sorted table ids plus a
+    CONSTANT shift, so the query streams are sorted and a merge touches
+    each table row once per group at streaming bandwidth.  The kernel
+    path queries the RAW shifted ids (no sentinel substitution at
+    invalid taps — substitution would break sortedness); spurious
+    membership at out-of-range taps is masked by valid_c exactly as the
+    sentinel form masks it, and the rank bits it could perturb are only
+    consumed under hit gates that are false there (contraction-level
+    equivalence is oracle-tested).
+    """
+    from . import merge_kernel
+    if not merge_kernel.ENABLED:
+        return jax.vmap(lambda i, m: subm_xblock_table(i, m, grid))(
+            ids, mask)
+    nx, ny, nz = grid
+    v = ids.shape[1]
+    d = jnp.asarray(np.stack(np.meshgrid(
+        np.arange(3) - 1, np.arange(3) - 1, indexing='ij'),
+        axis=-1).reshape(-1, 2), jnp.int32)                       # (9, 2)
+    shifts = d[:, 0] * (ny * nx) + d[:, 1] * nx - 1               # (9,)
+    base_raw = ids[:, None, :] + shifts[None, :, None]            # (B,9,V)
+    pos, d0, d1, d2 = merge_kernel.resolve_sorted_queries(
+        ids, base_raw, interpret=merge_kernel.INTERPRET)
+    q = jnp.clip(pos, 0, v - 1)
+
+    z, y, x = delinearize(jnp.where(mask, ids, 0), grid)          # (B, V)
+    tz = z[:, None, :] + d[None, :, 0:1]
+    ty = y[:, None, :] + d[None, :, 1:2]
+    valid_c = (mask[:, None, :]
+               & (tz >= 0) & (tz < nz) & (ty >= 0) & (ty < ny))   # (B,9,V)
+    xok = (x - 1 >= 0, jnp.ones_like(mask), x + 1 < nx)
+    tbl = jax.vmap(_xblock_hits)(d0, d1, d2, valid_c,
+                                 jnp.stack(xok, 0).swapaxes(0, 1))
+    return q, tbl
+
+
+def strided_xblock_table_b(in_ids, in_mask, out_ids, out_mask, grid,
+                           stride, padding):
+    """Batched strided_xblock_table; merge-kernel path as in
+    subm_xblock_table_b (the raw query stream
+    (oz*s-p+dz)*ny*nx + (oy*s-p+dy)*nx + ox*s-p is monotone in the
+    sorted out_ids because each axis map is affine increasing and the
+    per-axis ranges cannot carry into the next axis)."""
+    from . import merge_kernel
+    if not merge_kernel.ENABLED:
+        return jax.vmap(
+            lambda i, m, oi, om: strided_xblock_table(
+                i, m, oi, om, grid, stride, padding))(
+            in_ids, in_mask, out_ids, out_mask)
+    sz, sy, sx = _as3(stride)
+    pz, py, px = _as3(padding)
+    nx, ny, nz = grid
+    ogrid = out_grid_size(grid, 3, stride, padding)
+    onx, ony, onz = ogrid
+    v_in = in_ids.shape[1]
+
+    oz_r = out_ids // (ony * onx)
+    rem = out_ids % (ony * onx)
+    oy_r, ox_r = rem // onx, rem % onx                            # (B, Vo)
+    d = jnp.asarray(np.stack(np.meshgrid(
+        np.arange(3), np.arange(3), indexing='ij'),
+        axis=-1).reshape(-1, 2), jnp.int32)                       # (9, 2)
+    iz_r = oz_r[:, None, :] * sz - pz + d[None, :, 0:1]           # (B,9,Vo)
+    iy_r = oy_r[:, None, :] * sy - py + d[None, :, 1:2]
+    ix0_r = ox_r * sx - px                                        # (B, Vo)
+    base_raw = (iz_r * (ny * nx) + iy_r * nx + ix0_r[:, None, :])
+    pos, d0, d1, d2 = merge_kernel.resolve_sorted_queries(
+        in_ids, base_raw, interpret=merge_kernel.INTERPRET)
+    q = jnp.clip(pos, 0, v_in - 1)
+
+    oz = jnp.where(out_mask, oz_r, 0)
+    oy = jnp.where(out_mask, oy_r, 0)
+    ox = jnp.where(out_mask, ox_r, 0)
+    iz = oz[:, None, :] * sz - pz + d[None, :, 0:1]
+    iy = oy[:, None, :] * sy - py + d[None, :, 1:2]
+    ix0 = ox * sx - px
+    valid_c = (out_mask[:, None, :]
+               & (iz >= 0) & (iz < nz) & (iy >= 0) & (iy < ny))
+    xok = ((ix0 >= 0) & (ix0 < nx),
+           (ix0 + 1 >= 0) & (ix0 + 1 < nx),
+           (ix0 + 2 >= 0) & (ix0 + 2 < nx))
+    tbl = jax.vmap(_xblock_hits)(d0, d1, d2, valid_c,
+                                 jnp.stack(xok, 0).swapaxes(0, 1))
+    return q, tbl
+
+
 def strided_xblock_table(in_ids, in_mask, out_ids, out_mask, grid,
                          stride, padding):
     """x-block gather table for a strided 3^3 sparse conv: for output site o

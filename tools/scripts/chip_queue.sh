@@ -14,18 +14,17 @@ guard
 timeout 7200 python tools/convergence_waymo.py 700 1e-3 \
     configs/waymo_models/GLENet_S.yaml 150 > /tmp/conv_glenet_s_waymo.log 2>&1
 
-# 2. GLENet-VR with 8 held-out scenes (VERDICT #7) — also saves
-#    /tmp/conv_GLENet_VR/variables.msgpack for step 3
-guard
-timeout 7200 python tools/convergence_ap.py 700 1e-3 \
-    configs/kitti_models/GLENet_VR.yaml 40000 8 > /tmp/conv_vr_holdout.log 2>&1
-
 # 3. Stage-2 recovery recipe measurement (VERDICT #8)
 guard
 timeout 3600 python tools/stage2_recovery.py 200 1e-3 \
     > /tmp/stage2_recovery.log 2>&1
 
-# 4. CaDDN convergence evidence (VERDICT #5)
+# 4. PartA2_free at the 16k eval budget (VERDICT #4; rerun with any fix)
+guard
+timeout 10800 python tools/convergence_ap.py 1500 1.5e-3 \
+    configs/kitti_models/PartA2_free.yaml 16000 > /tmp/conv_pa2free.log 2>&1
+
+# 5. CaDDN convergence evidence (VERDICT #5)
 guard
 timeout 7200 python tools/convergence_caddn.py 700 1e-3 \
     > /tmp/conv_caddn.log 2>&1
@@ -34,11 +33,6 @@ timeout 7200 python tools/convergence_caddn.py 700 1e-3 \
 guard
 timeout 5400 python tools/convergence_ap.py 700 1e-3 \
     configs/kitti_models/GLENet_S.yaml 40000 8 > /tmp/conv_s_holdout.log 2>&1
-
-# 6. PartA2_free at the 16k eval budget (VERDICT #4; rerun with any fix)
-guard
-timeout 10800 python tools/convergence_ap.py 1500 1.5e-3 \
-    configs/kitti_models/PartA2_free.yaml 16000 > /tmp/conv_pa2free.log 2>&1
 
 # 7. Prime the bench compile cache for the driver's round-end run
 guard
