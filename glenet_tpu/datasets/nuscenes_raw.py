@@ -311,3 +311,59 @@ def create_nuscenes_info(version, data_path, save_path, max_sweeps=10):
         (save_path / f'nuscenes_infos_{max_sweeps}sweeps_val.pkl'
          ).write_bytes(pickle.dumps(val_infos))
     return len(train_infos), len(val_infos)
+
+
+def create_lyft_info(version, data_path, save_path, split_scenes,
+                     max_sweeps=10):
+    """Lyft variant of the devkit seam (reference lyft_dataset.py:251):
+    the Lyft SDK is a nuScenes fork with the same record schema, so the
+    whole devkit-free assembly above applies unchanged — only the
+    entry-point class and the split source differ (Lyft splits come from
+    caller-provided scene-name lists instead of nuscenes.utils.splits).
+
+    Args:
+        split_scenes: {'train': [scene names], 'val': [...]}.
+    Writes lyft_infos_{train,val}.pkl with the same info schema.
+    """
+    try:
+        from lyft_dataset_sdk.lyftdataset import LyftDataset
+    except ImportError as e:                      # pragma: no cover
+        raise RuntimeError(
+            'create_lyft_info needs lyft_dataset_sdk') from e
+
+    data_path = Path(data_path)
+    save_path = Path(save_path)
+    lyft = LyftDataset(data_path=str(data_path),
+                       json_path=str(data_path / version), verbose=True)
+
+    def get(table, token):
+        return lyft.get(table, token)
+
+    def path_of(sd_token):
+        return lyft.get_sample_data_path(sd_token)
+
+    def box_fn(sample):
+        annos = [lyft.get('sample_annotation', t) for t in sample['anns']]
+        boxes = [lyft.get_box(t) for t in sample['anns']]
+        return ([b.center for b in boxes], [b.wlh for b in boxes],
+                [tuple(b.orientation.elements) for b in boxes],
+                np.zeros((len(boxes), 3)),        # lyft has no velocities
+                [b.name for b in boxes], [b.token for b in boxes],
+                [a.get('num_lidar_pts', 1) for a in annos],
+                [a.get('num_radar_pts', 0) for a in annos])
+
+    scene_name = {s['token']: s['name'] for s in lyft.scene}
+    train_names = set(split_scenes.get('train', []))
+    train_infos, val_infos = [], []
+    for sample in lyft.sample:
+        info = build_sample_info(get, sample, data_path, path_of,
+                                 max_sweeps, box_fn=box_fn)
+        (train_infos if scene_name[sample['scene_token']] in train_names
+         else val_infos).append(info)
+
+    save_path.mkdir(parents=True, exist_ok=True)
+    (save_path / 'lyft_infos_train.pkl').write_bytes(
+        pickle.dumps(train_infos))
+    (save_path / 'lyft_infos_val.pkl').write_bytes(
+        pickle.dumps(val_infos))
+    return len(train_infos), len(val_infos)
