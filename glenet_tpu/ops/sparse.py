@@ -67,7 +67,7 @@ def out_grid_size(grid, kernel_size, stride, padding) -> Tuple[int, int, int]:
 _I32_INF = np.int32(2 ** 31 - 1)
 
 
-def merged_searchsorted(ids, queries, want_vals: int = 0):
+def merged_searchsorted(ids, queries):
     """Insertion positions ('left') of each row of `queries` into sorted
     `ids`, computed with ONE combined sort instead of per-element binary
     search (jnp.searchsorted's while-loop of row gathers runs at HBM
@@ -75,22 +75,15 @@ def merged_searchsorted(ids, queries, want_vals: int = 0):
     vector work).
 
     Each query's position is independent (count of table keys before it in
-    the combined order), so query rows need not be sorted.
-
-    want_vals = k (0..3) additionally returns the table VALUES at the
-    insertion point, vals[d] == ids[pos + d] (I32_INF when pos + d is past
-    the table) — WITHOUT any gather: each table row carries its d-th
-    successor's value through the sort, and a reverse cummin over the
-    merged order propagates "the next table row at-or-after me" to every
-    query.  This is what lets the x-block table builds drop their 3x (9, V)
-    single-lane id lookups (measured ~12-17 ns/element, ~266 ms/step of
-    the round-4 GLENet-VR predict trace).
+    the combined order), so query rows need not be sorted.  Table builders
+    that also need the table VALUES around the insertion point use
+    merged_searchsorted_deltas instead.
 
     Args:
         ids: (V,) sorted ascending.
         queries: (Q, V) arbitrary.
     Returns:
-        (Q, V) int32 positions in [0, V], or (pos, [v0, v1, v2][:want_vals]).
+        (Q, V) int32 positions in [0, V].
     """
     q, nq = queries.shape
     nt = ids.shape[0]
@@ -101,29 +94,10 @@ def merged_searchsorted(ids, queries, want_vals: int = 0):
                            jnp.zeros(q * nq, jnp.int32)])
     payload = jnp.concatenate([jnp.full((nt,), q * nq, jnp.int32),
                                jnp.arange(q * nq, dtype=jnp.int32)])
-    carried = []
-    for d in range(want_vals):
-        tv = ids if d == 0 else jnp.concatenate(
-            [ids[d:], jnp.full((d,), _I32_INF, ids.dtype)])
-        carried.append(jnp.concatenate(
-            [tv, jnp.zeros(q * nq, ids.dtype)]))
-    srt = jax.lax.sort((keys, tag, payload, *carried), num_keys=2)
-    st, sp = srt[1], srt[2]
+    _, st, sp = jax.lax.sort((keys, tag, payload), num_keys=2)
     pos = jnp.cumsum(st) - st
-    outs = [pos.astype(jnp.int32)]
-    for d in range(want_vals):
-        masked = jnp.where(st == 1, srt[3 + d], _I32_INF)
-        # associative_scan lowers to log2(N) shifted-min passes;
-        # lax.cummin lowered to a ~24 ns/element serial fusion (measured
-        # 460 ms/step across the three big table builds)
-        outs.append(jax.lax.associative_scan(jnp.minimum, masked,
-                                             reverse=True))
-    # independent 1-D scatters: a single batched (k, N) scatter along axis
-    # 1 lowers to a ~37 ns/element serial fusion (measured 460 ms/step);
-    # the plain rank-1 permutation scatters are cheap
-    res = [jnp.zeros(q * nq + 1, jnp.int32).at[sp].set(o)[:q * nq]
-           .reshape(q, nq) for o in outs]
-    return res[0] if want_vals == 0 else tuple(res)
+    out = jnp.zeros(q * nq + 1, jnp.int32).at[sp].set(pos.astype(jnp.int32))
+    return out[:q * nq].reshape(q, nq)
 
 
 _POS_BITS = 20          # packed layout: pos | d0 << 20 | d1 << 22 | d2 << 24
@@ -763,28 +737,30 @@ subm_gather_gemm_xblocks_b.defvjp(_subm_ggx_b_fwd, _subm_ggx_b_bwd)
 
 
 def gather_gemm_b(features, nbr_idx, weights):
-    """Batched gather_gemm: features (B, V, Cin), nbr_idx (B, K, V) with V
-    as the padding row, weights (K, Cin, Cout) -> (B, V, Cout).  Same
-    budget-gated low-memory K-chunking as gather_gemm."""
+    """Batched gather_gemm: features (B, V, Cin), nbr_idx (B, K, Vout)
+    with V as the padding row (Vout == V for submanifold convs; inverse
+    convs gather a coarse table onto a larger fine site set), weights
+    (K, Cin, Cout) -> (B, Vout, Cout).  Same budget-gated low-memory
+    K-chunking as gather_gemm."""
     b, v, cin = features.shape
-    k = nbr_idx.shape[1]
+    k, vq = nbr_idx.shape[1], nbr_idx.shape[2]
     gdtype = _gather_dtype(features)
     padded = jnp.concatenate(
         [features, jnp.zeros((b, 1, cin), features.dtype)],
         axis=1).astype(gdtype)
-    if b * k * v * cin * jnp.dtype(gdtype).itemsize <= GATHER_BYTES_BUDGET:
-        gathered = _take_rows_merged(padded, nbr_idx)    # (B, K, V, Cin)
+    if b * k * vq * cin * jnp.dtype(gdtype).itemsize <= GATHER_BYTES_BUDGET:
+        gathered = _take_rows_merged(padded, nbr_idx)   # (B, K, Vout, Cin)
         return jnp.einsum('bkvc,kco->bvo', gathered,
                           weights.astype(gdtype),
                           preferred_element_type=jnp.float32
                           ).astype(features.dtype)
     chunk = max(1, GATHER_BYTES_BUDGET
-                // (b * v * cin * jnp.dtype(gdtype).itemsize))
+                // (b * vq * cin * jnp.dtype(gdtype).itemsize))
     n_chunks = -(-k // chunk)
     pad_k = n_chunks * chunk - k
     idx_p = jnp.concatenate(
-        [nbr_idx, jnp.full((b, pad_k, v), v, nbr_idx.dtype)], axis=1)
-    idx_p = idx_p.reshape(b, n_chunks, chunk, v).swapaxes(0, 1)
+        [nbr_idx, jnp.full((b, pad_k, vq), v, nbr_idx.dtype)], axis=1)
+    idx_p = idx_p.reshape(b, n_chunks, chunk, vq).swapaxes(0, 1)
     w_p = jnp.concatenate(
         [weights, jnp.zeros((pad_k,) + weights.shape[1:], weights.dtype)]
     ).reshape(n_chunks, chunk, cin, weights.shape[-1]).astype(gdtype)
@@ -795,7 +771,7 @@ def gather_gemm_b(features, nbr_idx, weights):
         return acc + jnp.einsum('bkvc,kco->bvo', g, w_c,
                                 preferred_element_type=jnp.float32), None
 
-    acc = jnp.zeros((b, v, weights.shape[-1]), jnp.float32)
+    acc = jnp.zeros((b, vq, weights.shape[-1]), jnp.float32)
     acc, _ = jax.lax.scan(body, acc, (idx_p, w_p))
     return acc.astype(features.dtype)
 

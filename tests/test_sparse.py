@@ -418,3 +418,21 @@ def test_gather_gemm_b_low_mem_path_matches(monkeypatch):
     monkeypatch.setattr(sparse, 'GATHER_BYTES_BUDGET', 4096)
     low = np.asarray(sparse.gather_gemm_b(feats, nbr, w))
     np.testing.assert_allclose(low, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_gather_gemm_b_low_mem_inverse_shape(monkeypatch):
+    """Low-memory K-chunked path with Vout != Vin (inverse-conv shape):
+    regression for the (B, K, Vout) pad/accumulator using the features'
+    V (crashed PartA2_free's UNet decoder at the 16k eval budget)."""
+    rng = np.random.RandomState(5)
+    cin, cout, v_in, v_out = 4, 6, 32, 48
+    feats = jnp.asarray(rng.randn(2, v_in, cin).astype(np.float32))
+    nbr = jnp.asarray(rng.randint(0, v_in + 1,
+                                  size=(2, 27, v_out)).astype(np.int32))
+    w = jnp.asarray(rng.randn(27, cin, cout).astype(np.float32) * 0.1)
+    monkeypatch.setattr(sparse, 'GATHER_COMPUTE_DTYPE', None)
+    ref = np.asarray(sparse.gather_gemm_b(feats, nbr, w))
+    assert ref.shape == (2, v_out, cout)
+    monkeypatch.setattr(sparse, 'GATHER_BYTES_BUDGET', 4096)
+    low = np.asarray(sparse.gather_gemm_b(feats, nbr, w))
+    np.testing.assert_allclose(low, ref, rtol=1e-4, atol=1e-5)
