@@ -15,7 +15,10 @@ lyft_dataset.py) consume those pkls.  This module closes the raw path:
     (lidar_path, sweeps[{lidar_path, transform_matrix, time_lag, ...}],
     ref_from_car, car_from_global, gt_boxes (N, 9) with [x y z dx dy dz
     yaw vx vy], gt_names, num_lidar_pts, ...), so the existing adapters
-    load them unchanged.
+    load them unchanged.  Camera fields (cam_front_path / cam_intrinsic,
+    reference nuscenes_utils.py fill_trainval_infos) are written when the
+    caller supplies a `cam_fn` seam (the devkit path does); without it
+    the pkls carry the lidar-side schema only.
 
 Frames follow the devkit convention: a pose/calib record holds a
 translation t and a rotation quaternion q (w, x, y, z) mapping the
@@ -113,11 +116,14 @@ def boxes_global_to_sensor(centers, sizes_wlh, yaw_quats, velocities,
     (w, x, y, z), velocities (N, 3) global; ego_pose / calib are records
     with 'translation' and 'rotation'.  Returns gt_boxes (N, 9):
     [x y z dx dy dz yaw vx vy] with dims reordered wlh -> (l, w, h) as
-    the reference does (nuscenes_utils.py:352 wlh -> dxdydz).
+    the reference does (nuscenes_utils.py:352 wlh -> dxdydz), plus the
+    full (N, 3) SENSOR-frame velocities (the reference's get_sample_data
+    rotates box.velocity into the sensor frame before fill_trainval_infos
+    stores it as gt_boxes_velocity).
     """
     n = len(centers)
     if n == 0:
-        return np.zeros((n, 9), np.float32)
+        return np.zeros((n, 9), np.float32), np.zeros((n, 3), np.float32)
     r_ge = quat_to_rot(ego_pose['rotation']).T         # global -> ego
     r_es = quat_to_rot(calib['rotation']).T            # ego -> sensor
     c = (np.asarray(centers, np.float64)
@@ -131,7 +137,7 @@ def boxes_global_to_sensor(centers, sizes_wlh, yaw_quats, velocities,
     dims = np.asarray(sizes_wlh, np.float64)[:, [1, 0, 2]]
     out = np.concatenate(
         [c, dims, np.asarray(yaws)[:, None], v[:, :2]], axis=1)
-    return out.astype(np.float32)
+    return out.astype(np.float32), v.astype(np.float32)
 
 
 def chain_sweeps(get, ref_sd, ref_cs, ref_pose, data_path, path_of,
@@ -197,12 +203,15 @@ def _rel(path, root):
 
 
 def build_sample_info(get, sample, data_path, path_of, max_sweeps,
-                      test=False, box_fn=None):
+                      test=False, box_fn=None, cam_fn=None):
     """One reference-schema info dict from plain records.
 
     box_fn: callable(sample) -> (centers, sizes_wlh, yaw_quats,
     velocities, names, tokens, num_lidar_pts, num_radar_pts) in the
-    GLOBAL frame (the devkit seam supplies it; tests mock it)."""
+    GLOBAL frame (the devkit seam supplies it; tests mock it).
+    cam_fn: optional callable(sample) -> (cam_front_path, cam_intrinsic
+    (3, 3)) writing the reference's camera fields
+    (nuscenes_utils.py fill_trainval_infos cam_front_path/cam_intrinsic)."""
     ref_sd = get('sample_data', sample['data']['LIDAR_TOP'])
     ref_cs = get('calibrated_sensor', ref_sd['calibrated_sensor_token'])
     ref_pose = get('ego_pose', ref_sd['ego_pose_token'])
@@ -218,17 +227,24 @@ def build_sample_info(get, sample, data_path, path_of, max_sweeps,
         'sweeps': chain_sweeps(get, ref_sd, ref_cs, ref_pose, data_path,
                                path_of, max_sweeps),
     }
+    if cam_fn is not None:
+        cam_path, cam_intrinsic = cam_fn(sample)
+        info['cam_front_path'] = _rel(cam_path, data_path)
+        info['cam_intrinsic'] = np.asarray(cam_intrinsic, np.float64)
     if not test and box_fn is not None:
         (centers, sizes, quats, vels, names, tokens,
          n_lidar, n_radar) = box_fn(sample)
-        gt = boxes_global_to_sensor(centers, sizes, quats, vels,
-                                    ref_pose, ref_cs)
+        gt, v_sensor = boxes_global_to_sensor(centers, sizes, quats, vels,
+                                              ref_pose, ref_cs)
         n_lidar = np.asarray(n_lidar)
         n_radar = np.asarray(n_radar)
         # reference filter: drop boxes with zero lidar+radar points
         keep = (n_lidar + n_radar) > 0
         info['gt_boxes'] = gt[keep]
-        info['gt_boxes_velocity'] = np.asarray(vels)[keep]
+        # SENSOR-frame, matching the reference (get_sample_data rotates
+        # box.velocity into the sensor frame before fill_trainval_infos
+        # reads it) and consistent with gt_boxes[:, 7:9]
+        info['gt_boxes_velocity'] = v_sensor[keep]
         info['gt_names'] = np.array(
             [NAME_MAP.get(n, n) for n in names])[keep]
         info['gt_boxes_token'] = np.asarray(tokens)[keep]
@@ -282,6 +298,13 @@ def create_nuscenes_info(version, data_path, save_path, max_sweeps=10):
         return (centers, sizes, quats, vels, names, tokens, n_lidar,
                 n_radar)
 
+    def cam_fn(sample):
+        cam_sd = nusc.get('sample_data', sample['data']['CAM_FRONT'])
+        cam_cs = nusc.get('calibrated_sensor',
+                          cam_sd['calibrated_sensor_token'])
+        return (nusc.get_sample_data_path(cam_sd['token']),
+                cam_cs['camera_intrinsic'])
+
     # scenes whose first lidar file exists on disk (reference
     # get_available_scenes)
     name_to_token = {}
@@ -297,7 +320,8 @@ def create_nuscenes_info(version, data_path, save_path, max_sweeps=10):
     test = version == 'v1.0-test'
     for sample in nusc.sample:
         info = build_sample_info(get, sample, data_path, path_of,
-                                 max_sweeps, test=test, box_fn=box_fn)
+                                 max_sweeps, test=test, box_fn=box_fn,
+                                 cam_fn=cam_fn)
         (train_infos if sample['scene_token'] in train_tokens
          else val_infos).append(info)
 

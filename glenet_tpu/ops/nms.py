@@ -9,11 +9,11 @@ rotated-IoU row per sequential iteration, dominating two-stage model time):
   1. for small candidate counts the full (pre_max x pre_max) rotated-IoU
      matrix is computed ONCE, fully parallel on the VPU (candidates are
      pre-sorted by score, so greedy order == row order);
-  2. the greedy suppression pass runs over 64-row blocks: inside a block
-     the 64 keep decisions are unrolled scalar/vector ops on the block-
-     local 64x64 sub-matrix; each block then suppresses all later boxes
-     with one vectorized any-reduce — sequential depth pre_max/64 instead
-     of post_max full-IoU rows;
+  2. the greedy suppression pass runs as parallel locally-first
+     confirmation rounds (see greedy_keep): each round decides every
+     candidate with no earlier undecided suppressor in two (P, P)
+     any-reduces — sequential depth = max suppression-chain length
+     (typically < 10), not P/64 blocks of unrolled scalar steps;
   3. variance voting is vectorized after the keep pass: every box's
      "suppressor" (the first kept box overlapping it) is a min-reduce over
      the mask matrix, and cluster averages become one segment-sum.
@@ -34,10 +34,9 @@ typically far less via the early exit.
 All outputs are fixed-shape: (post_max,) indices + validity mask (+ voted
 boxes), so the caller stays inside jit.
 
-NOTE: `nms_bev` above the dense-path threshold uses `lax.while_loop`,
-which has no JVP rule — callers must `stop_gradient` boxes/scores first
-(the proposal layers do; the reference also detaches proposals,
-roi_head_template.py:51).
+NOTE: the greedy passes use `lax.while_loop`, which has no JVP rule —
+callers must `stop_gradient` boxes/scores first (the proposal layers do;
+the reference also detaches proposals, roi_head_template.py:51).
 """
 from __future__ import annotations
 
@@ -50,7 +49,6 @@ import numpy as np
 from . import iou3d
 
 _NEG_INF = -1e9
-_BLK = 64
 
 
 def _topk_boxes(boxes, scores, pre_max):
@@ -61,6 +59,17 @@ def _topk_boxes(boxes, scores, pre_max):
 def greedy_keep(supp_mat, live):
     """Greedy NMS keep flags over score-sorted candidates.
 
+    Parallel locally-first-confirmation rounds (round 5; replaces the
+    round-2 64-row blockwise pass whose unrolled in-block scalar loop was
+    the predict path's sequential-depth bound): per round, every
+    candidate with NO earlier *undecided* candidate suppressing it is
+    decidable — it is kept iff no confirmed keep suppresses it.  This is
+    exact (when i is decidable, all of i's potential greedy suppressors
+    are already final) and terminates (the earliest undecided candidate
+    is always decidable), in max-suppression-chain-depth rounds —
+    typically < 10 for detection workloads vs P/64 * 64 sequential steps
+    before.  Each round is two (P, P) masked any-reduces: pure VPU work.
+
     Args:
         supp_mat: (P, P) bool — True where box row would suppress box col
                   (diagonal True is fine: self-suppression is ignored).
@@ -68,37 +77,26 @@ def greedy_keep(supp_mat, live):
     Returns:
         keep: (P,) bool.
     """
-    p0 = supp_mat.shape[0]
-    p = p0
-    if p % _BLK:
-        pad = _BLK - p % _BLK
-        supp_mat = jnp.pad(supp_mat, ((0, pad), (0, pad)))
-        live = jnp.pad(live, (0, pad))
-        p += pad
+    p = supp_mat.shape[0]
+    idx = jnp.arange(p)
+    # A[j, i]: j would suppress i and j precedes i in greedy (score) order
+    a = supp_mat & (idx[:, None] < idx[None, :])
 
-    def body(b, state):
-        suppressed, keep = state
-        base = b * _BLK
-        rows = jax.lax.dynamic_slice(supp_mat, (base, 0), (_BLK, p))
-        sq = jax.lax.dynamic_slice(supp_mat, (base, base), (_BLK, _BLK))
-        sup_blk = jax.lax.dynamic_slice(suppressed, (base,), (_BLK,))
-        live_blk = jax.lax.dynamic_slice(live, (base,), (_BLK,))
-        sup_local = jnp.zeros((_BLK,), bool)
-        keeps = []
-        for j in range(_BLK):                     # unrolled: static indices
-            kj = live_blk[j] & ~sup_blk[j] & ~sup_local[j]
-            keeps.append(kj)
-            sup_local = sup_local | (kj & sq[j])
-        keep_blk = jnp.stack(keeps)
-        new_sup = (keep_blk[:, None] & rows).any(axis=0)
-        suppressed = suppressed | new_sup
-        keep = jax.lax.dynamic_update_slice(keep, keep_blk, (base,))
-        return suppressed, keep
+    def cond(state):
+        return state[0].any()
 
-    suppressed = jnp.zeros((p,), bool)
-    keep = jnp.zeros((p,), bool)
-    _, keep = jax.lax.fori_loop(0, p // _BLK, body, (suppressed, keep))
-    return keep[:p0]
+    def body(state):
+        undecided, keep = state
+        blocked = (a & undecided[:, None]).any(axis=0)
+        new_keep = undecided & ~blocked
+        keep = keep | new_keep
+        new_supp = (a & new_keep[:, None]).any(axis=0)
+        undecided = undecided & ~new_keep & ~new_supp
+        return undecided, keep
+
+    _, keep = jax.lax.while_loop(
+        cond, body, (live, jnp.zeros((p,), bool)))
+    return keep
 
 
 _LAZY_BLK = 256

@@ -104,6 +104,9 @@ _POS_BITS = 20          # packed layout: pos | d0 << 20 | d1 << 22 | d2 << 24
 _POS_MASK = (1 << _POS_BITS) - 1
 
 
+_GAP_BITS = 22          # table-row payload: dump_slot | g1<<22 | g2<<24
+
+
 def merged_searchsorted_deltas(ids, queries, n_deltas: int = 3):
     """merged_searchsorted specialised for the table builders: returns
     (pos, d0[, d1, d2]) with dk = clamp(ids[pos + k] - query, 0, 3) —
@@ -113,43 +116,74 @@ def merged_searchsorted_deltas(ids, queries, n_deltas: int = 3):
       - the table/query tag is folded into the sort key's low bit
         (key * 2 + tag; queries sort before equal table keys), dropping
         one sort operand;
+      - successor VALUES are never carried through the sort: the sorted
+        key sequence itself holds every table value, so ONE reverse
+        associative min-scan of (table_value * 16 + clamped_gaps)
+        recovers ids[pos] and — via the 2-bit successor gaps
+        g_k = clamp(ids[i+k] - ids[i], 0, 3), packed into the table
+        rows' payload high bits before the sort — ids[pos+1] and
+        ids[pos+2] as well (clamping is exact for the [0, 3] deltas the
+        callers consume: gap > 3 and true delta > 3 both saturate).
+        The round-4 form carried 3 successor-value operands and ran 3
+        scans; this form sorts (key, payload) only and runs 1 scan;
       - pos and the three 2-bit deltas pack into ONE int32
         (pos | d0<<20 | d1<<22 | d2<<24), so ONE permutation scatter maps
         results back to query order instead of four (~15-18 ms each at
         level-2/3 scale in the round-4 trace).
 
-    Requires len(ids) < 2^20 per-sample table slots (asserted) and
-    keys * 2 within int32 (KITTI/Waymo grids: n_cells ~9.3e7 * 2 ok).
+    Requires len(ids) < 2^20 per-sample table slots (asserted),
+    keys * 2 within int32, and (for n_deltas > 1) table values * 16
+    within int32 — i.e. n_cells < 2^27 (KITTI/Waymo full grids are
+    ~9.3e7 < 1.34e8; the table builders assert it where the grid is
+    known).
     """
     q, nq = queries.shape
     nt = ids.shape[0]
     assert nt < (1 << _POS_BITS), nt
+    assert q * nq < (1 << _GAP_BITS), (q, nq)
     keys = jnp.concatenate([ids, queries.reshape(-1)])
     key2 = keys * 2 + jnp.concatenate(
         [jnp.ones(nt, jnp.int32), jnp.zeros(q * nq, jnp.int32)])
-    payload = jnp.concatenate([jnp.full((nt,), q * nq, jnp.int32),
+    if n_deltas > 1:
+        # per-table-row successor gaps, clamped to the 2-bit range
+        g1 = jnp.clip(jnp.concatenate(
+            [ids[1:], jnp.full((1,), _I32_INF, ids.dtype)]) - ids, 0, 3)
+        gaps = g1
+        if n_deltas > 2:
+            g2 = jnp.clip(jnp.concatenate(
+                [ids[2:], jnp.full((2,), _I32_INF, ids.dtype)]) - ids,
+                0, 3)
+            gaps = gaps | g2 << 2
+        tbl_payload = jnp.int32(q * nq) | gaps << _GAP_BITS
+    else:
+        tbl_payload = jnp.full((nt,), q * nq, jnp.int32)
+    payload = jnp.concatenate([tbl_payload,
                                jnp.arange(q * nq, dtype=jnp.int32)])
-    carried = []
-    for d in range(n_deltas):
-        tv = ids if d == 0 else jnp.concatenate(
-            [ids[d:], jnp.full((d,), _I32_INF, ids.dtype)])
-        carried.append(jnp.concatenate(
-            [tv, jnp.zeros(q * nq, ids.dtype)]))
-    srt = jax.lax.sort((key2, payload, *carried), num_keys=1)
-    sk, sp = srt[0], srt[1]
+    sk, sp = jax.lax.sort((key2, payload), num_keys=1)
     st = sk & 1                                    # tag: 1 = table row
     pos = (jnp.cumsum(st) - st).astype(jnp.int32)
     skey = sk >> 1                                 # original key
-    packed = pos
-    for d in range(n_deltas):
-        vd = jax.lax.associative_scan(
-            jnp.minimum, jnp.where(st == 1, srt[2 + d], _I32_INF),
-            reverse=True)
-        # clamp(vd - key, 0, 3): vd >= key always ('left' insertion), and
-        # values > key + 2 are equivalent for membership
-        delta = jnp.clip(vd - skey, 0, 3)
-        packed = packed | delta << (_POS_BITS + 2 * d)
-    out = jnp.zeros(q * nq + 1, jnp.int32).at[sp].set(packed)[:q * nq]
+    # one reverse min-scan carries (next table value at-or-after) — for
+    # n_deltas > 1 scaled by 16 with that value's successor gaps in the
+    # low 4 bits (n_deltas == 1 keeps the old 2x-only headroom)
+    if n_deltas > 1:
+        sgaps = sp >> _GAP_BITS
+        v = jnp.where(st == 1, skey * 16 + sgaps, _I32_INF)
+        vmin = jax.lax.associative_scan(jnp.minimum, v, reverse=True)
+        k0 = vmin >> 4
+    else:
+        v = jnp.where(st == 1, skey, _I32_INF)
+        vmin = jax.lax.associative_scan(jnp.minimum, v, reverse=True)
+        k0 = vmin
+    packed = pos | jnp.clip(k0 - skey, 0, 3) << _POS_BITS
+    if n_deltas > 1:
+        packed = packed | jnp.clip(k0 + (vmin & 3) - skey, 0, 3) \
+            << (_POS_BITS + 2)
+    if n_deltas > 2:
+        packed = packed | jnp.clip(k0 + ((vmin >> 2) & 3) - skey, 0, 3) \
+            << (_POS_BITS + 4)
+    sp_idx = jnp.where(st == 1, q * nq, sp & ((1 << _GAP_BITS) - 1))
+    out = jnp.zeros(q * nq + 1, jnp.int32).at[sp_idx].set(packed)[:q * nq]
     out = out.reshape(q, nq)
     res = [out & _POS_MASK]
     for d in range(n_deltas):
@@ -395,6 +429,8 @@ def subm_xblock_table(ids, mask, grid):
     """
     nx, ny, nz = grid
     n_cells = nx * ny * nz
+    # int32 headroom: merged_searchsorted_deltas packs table values * 16
+    assert 16 * (n_cells + 1) < 2 ** 31, grid
     v = ids.shape[0]
     z, y, x = delinearize(jnp.where(mask, ids, 0), grid)
     d = jnp.asarray(np.stack(np.meshgrid(
@@ -432,6 +468,9 @@ def subm_xblock_table_b(ids, mask, grid):
         return jax.vmap(lambda i, m: subm_xblock_table(i, m, grid))(
             ids, mask)
     nx, ny, nz = grid
+    # the kernel pads query rows with 2^28: every real (raw, shifted)
+    # query must sort strictly below the pad value
+    assert nx * ny * nz + ny * nx + nx < (1 << 28), grid
     v = ids.shape[1]
     d = jnp.asarray(np.stack(np.meshgrid(
         np.arange(3) - 1, np.arange(3) - 1, indexing='ij'),
@@ -469,6 +508,9 @@ def strided_xblock_table_b(in_ids, in_mask, out_ids, out_mask, grid,
     sz, sy, sx = _as3(stride)
     pz, py, px = _as3(padding)
     nx, ny, nz = grid
+    # kernel-path pad-value headroom (see subm_xblock_table_b): raw
+    # queries reach at most ((onz-1)*sz - pz + 2) * ny*nx + ...
+    assert (nz + 4) * ny * nx < (1 << 28), grid
     ogrid = out_grid_size(grid, 3, stride, padding)
     onx, ony, onz = ogrid
     v_in = in_ids.shape[1]
@@ -516,6 +558,8 @@ def strided_xblock_table(in_ids, in_mask, out_ids, out_mask, grid,
     pz, py, px = _as3(padding)
     nx, ny, nz = grid
     n_cells = nx * ny * nz
+    # int32 headroom: merged_searchsorted_deltas packs table values * 16
+    assert 16 * (n_cells + 1) < 2 ** 31, grid
     ogrid = out_grid_size(grid, 3, stride, padding)
     onx, ony, onz = ogrid
     v_in = in_ids.shape[0]
@@ -872,6 +916,8 @@ def strided_gather_table(in_ids, in_mask, out_ids, out_mask, grid,
     pz, py, px = _as3(padding)
     nx, ny, nz = grid
     n_cells = nx * ny * nz
+    # int32 headroom: merged-sort keys are value * 2 + tag
+    assert 2 * (n_cells + 1) < 2 ** 31, grid
     ogrid = out_grid_size(grid, kernel_size, stride, padding)
     onx, ony, onz = ogrid
     v_in = in_ids.shape[0]
@@ -914,6 +960,8 @@ def inverse_gather_table(fine_ids, fine_mask, coarse_ids, coarse_mask,
     ogrid = out_grid_size(fine_grid, kernel_size, stride, padding)
     onx, ony, onz = ogrid
     n_out_cells = onx * ony * onz
+    # int32 headroom: merged-sort keys are value * 2 + tag
+    assert 2 * (n_out_cells + 1) < 2 ** 31, ogrid
     v_coarse = coarse_ids.shape[0]
 
     z, y, x = delinearize(jnp.where(fine_mask, fine_ids, 0), fine_grid)

@@ -34,7 +34,7 @@ def test_boxes_global_to_sensor_geometry():
     psi = 1.1
     vel = np.array([2.0, 0.0, 0.0])
 
-    gt = nr.boxes_global_to_sensor(
+    gt, v_sensor = nr.boxes_global_to_sensor(
         p[None], np.array([[1.9, 4.6, 1.7]]), [yaw_quat(psi)], vel[None],
         ego, cal)
     expect_c = rotz(0.1) @ (rotz(-0.3) @ (p - ego['translation'])
@@ -45,6 +45,10 @@ def test_boxes_global_to_sensor_geometry():
     assert abs(gt[0, 6] - (psi - 0.3 + 0.1)) < 1e-5
     expect_v = (rotz(0.1) @ rotz(-0.3) @ vel)[:2]
     np.testing.assert_allclose(gt[0, 7:9], expect_v, atol=1e-5)
+    # the returned (N, 3) velocity is the same sensor-frame vector
+    np.testing.assert_allclose(v_sensor[0, :2], expect_v, atol=1e-5)
+    np.testing.assert_allclose(
+        v_sensor[0], rotz(0.1) @ rotz(-0.3) @ vel, atol=1e-5)
 
 
 def _mock_world(n_hist=3, dt_us=100_000):
@@ -112,11 +116,17 @@ def test_build_sample_info_schema_and_filter():
 
     info = nr.build_sample_info(get, sample, '/data',
                                 lambda t: f'/data/{t}.bin', max_sweeps=3,
-                                box_fn=box_fn)
+                                box_fn=box_fn,
+                                cam_fn=lambda s: ('/data/cam0.jpg',
+                                                  np.eye(3)))
     for key in ('lidar_path', 'token', 'ref_from_car', 'car_from_global',
                 'timestamp', 'sweeps', 'gt_boxes', 'gt_names',
-                'num_lidar_pts'):
+                'num_lidar_pts', 'cam_front_path', 'cam_intrinsic'):
         assert key in info, key
     assert info['gt_boxes'].shape == (1, 9)       # zero-point box dropped
     assert info['gt_names'][0] == 'car'           # general -> detection
     assert len(info['sweeps']) == 2
+    # gt_boxes_velocity is SENSOR-frame: consistent with gt_boxes[:, 7:9]
+    np.testing.assert_allclose(info['gt_boxes_velocity'][:, :2],
+                               info['gt_boxes'][:, 7:9], atol=1e-6)
+    assert info['cam_intrinsic'].shape == (3, 3)
