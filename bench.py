@@ -79,16 +79,17 @@ def bench_train(cfg_path, batches):
 
     params, mstate, opt_state, loss = train_step(
         params, mstate, opt_state, batches[0], key)   # warm (cache hit)
-    jax.block_until_ready(params)
+    from bench_model import _sync
+    _sync(params)
     t0 = time.time()
     for i, b in enumerate(batches):
         params, mstate, opt_state, loss = train_step(
             params, mstate, opt_state, b, jax.random.PRNGKey(i))
-    # block on the full params tree: over the axon tunnel,
-    # block_until_ready on a SCALAR (loss) returns without waiting for
-    # execution (see tools/bench_model.py header) — timing against it
-    # measures dispatch rate, not execution
-    jax.block_until_ready(params)
+    # block on the full params tree AND host-fetch one element of it:
+    # block_until_ready alone (even on a large tree) has been observed
+    # returning pre-execution over the axon tunnel (bench_model.py
+    # header); a data fetch cannot complete before execution
+    _sync(params)
     dt_step = (time.time() - t0) / len(batches)
     mfu = flops / dt_step / V5E_PEAK_FLOPS if flops else 0.0
     return BATCH / dt_step, mfu, flops
@@ -107,17 +108,19 @@ def bench_predict(cfg_path, batches):
     cfg = cfg_from_yaml_file(cfg_path)
     det = build_detector(cfg)
     variables = det.init(jax.random.PRNGKey(0), batches[0])
+    from bench_model import _sync
     predict = jax.jit(lambda v, b: det.predict(v, b))
     out = predict(variables, batches[0])
-    jax.block_until_ready(out)
+    _sync(out)
 
     t0 = time.time()
     outs = []
     for b in batches:
-        outs.append(predict(variables, b))   # keep FULL output trees: a
-        # small/scalar leaf alone can report ready before execution over
-        # the axon tunnel (see tools/bench_model.py header)
+        outs.append(predict(variables, b))   # keep FULL output trees; the
+        # final _sync adds a host fetch — block_until_ready alone has been
+        # observed returning pre-execution (tools/bench_model.py header)
     jax.block_until_ready(outs)
+    _sync(outs[-1])
     dt = time.time() - t0
     return len(batches) * BATCH / dt
 

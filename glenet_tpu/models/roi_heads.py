@@ -277,12 +277,12 @@ def gather_corners_dense(query_xyz, dense_feats, occ, grid, stride,
              & (cz >= 0) & (cz < nz))
     flat = jnp.where(valid, cz * (ny * nx) + cy * nx + cx, nz * ny * nx)
     c = dense_feats.shape[-1]
-    padded = jnp.concatenate(
-        [dense_feats.reshape(-1, c), jnp.zeros((1, c), dense_feats.dtype)],
-        axis=0)
-    cf = padded[flat.reshape(-1)].reshape(*flat.shape, c)
-    occ_flat = jnp.concatenate([occ.reshape(-1), jnp.zeros((1,), bool)])
-    cv = occ_flat[flat.reshape(-1)].reshape(flat.shape)
+    # mode='fill' gathers: no concatenated full-map +1-row copy (that copy
+    # is ~400 MB/sample at the level-3 grid and was the batch-4 HBM spike)
+    cf = jnp.take(dense_feats.reshape(-1, c), flat.reshape(-1), axis=0,
+                  mode='fill', fill_value=0).reshape(*flat.shape, c)
+    cv = jnp.take(occ.reshape(-1), flat.reshape(-1),
+                  mode='fill', fill_value=False).reshape(flat.shape)
     centers = (jnp.stack([cx, cy, cz], -1).astype(jnp.float32) + 0.5) * vs \
         + origin
     rel = centers - query_xyz[:, None, :]

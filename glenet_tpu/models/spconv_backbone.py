@@ -334,11 +334,13 @@ class VoxelBackBone8x(nn.Module):
         x, ids3, mask3, grid3 = SparseConvBN(
             c3, 3, 2, 1, out_cap=caps[2], axis_name=self.axis_name,
             name='conv3_down')(x, ids2, mask2, grid2, train=train)
-        xd = jax.vmap(lambda f, i, m: sparse.to_dense(f, i, m, grid3))(
-            x, ids3, mask3)                              # (B, D3, H3, W3, C)
-        occ = jax.vmap(lambda i, m: sparse.to_dense(
-            jnp.ones((i.shape[0], 1), xd.dtype), i, m, grid3))(
-            ids3, mask3)[..., 0] > 0
+        # occupancy-cumsum + monotone row-take densify: ~2x the row
+        # scatter (the round-5 predict trace's largest op) and the occ
+        # plane comes from the same pass; bf16 canvas feeds the bf16
+        # dense convs directly
+        xd, occ = sparse.to_dense_expand(
+            x, ids3, mask3, grid3,
+            DENSE_MXU_DTYPE if DENSE_MXU_DTYPE else None)
 
         for j in range(self.subm_per_block[1]):
             xd, occ = dense_unit(xd, occ, c3, f'conv3_{j}')

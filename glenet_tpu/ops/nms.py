@@ -56,19 +56,47 @@ def _topk_boxes(boxes, scores, pre_max):
     return boxes[order], scores[order], order
 
 
+def _fixpoint_keep(a, live):
+    """Exact greedy keep via parallel locally-first-confirmation rounds:
+    per round, every candidate with NO earlier *undecided* candidate
+    suppressing it is decidable — kept iff no confirmed keep suppresses
+    it.  Exact (when i is decidable, all of i's potential greedy
+    suppressors are final) and terminating (the earliest undecided
+    candidate is always decidable); rounds = max suppression-chain depth.
+
+    a: (P, P) bool with a[j, i] = "j suppresses i AND j earlier than i".
+    """
+    def cond(state):
+        return state[0].any()
+
+    def body(state):
+        undecided, keep = state
+        # 8 rounds per loop iteration: the while_loop's per-iteration
+        # device overhead dominates when chains are long (dense-overlap
+        # inputs), and on typical clustered data 8 rounds converge in
+        # ONE iteration (extra rounds on converged state are no-ops)
+        for _ in range(8):
+            blocked = (a & undecided[:, None]).any(axis=0)
+            new_keep = undecided & ~blocked
+            keep = keep | new_keep
+            new_supp = (a & new_keep[:, None]).any(axis=0)
+            undecided = undecided & ~new_keep & ~new_supp
+        return undecided, keep
+
+    _, keep = jax.lax.while_loop(
+        cond, body, (live, jnp.zeros(live.shape, bool)))
+    return keep
+
+
 def greedy_keep(supp_mat, live):
     """Greedy NMS keep flags over score-sorted candidates.
 
-    Parallel locally-first-confirmation rounds (round 5; replaces the
-    round-2 64-row blockwise pass whose unrolled in-block scalar loop was
-    the predict path's sequential-depth bound): per round, every
-    candidate with NO earlier *undecided* candidate suppressing it is
-    decidable — it is kept iff no confirmed keep suppresses it.  This is
-    exact (when i is decidable, all of i's potential greedy suppressors
-    are already final) and terminates (the earliest undecided candidate
-    is always decidable), in max-suppression-chain-depth rounds —
-    typically < 10 for detection workloads vs P/64 * 64 sequential steps
-    before.  Each round is two (P, P) masked any-reduces: pure VPU work.
+    Parallel locally-first-confirmation fixpoint (see _fixpoint_keep),
+    8 rounds per device-loop iteration.  Measured at P=4096 on the real
+    chip: 11 ms even on uniform-random dense-overlap boxes (the
+    adversarial case for chain depth) — 20x faster than a sequential
+    256-block hybrid (nested-loop iteration overhead) and free of the
+    round-2 64-row pass's P-deep unrolled scalar chain.
 
     Args:
         supp_mat: (P, P) bool — True where box row would suppress box col
@@ -79,24 +107,7 @@ def greedy_keep(supp_mat, live):
     """
     p = supp_mat.shape[0]
     idx = jnp.arange(p)
-    # A[j, i]: j would suppress i and j precedes i in greedy (score) order
-    a = supp_mat & (idx[:, None] < idx[None, :])
-
-    def cond(state):
-        return state[0].any()
-
-    def body(state):
-        undecided, keep = state
-        blocked = (a & undecided[:, None]).any(axis=0)
-        new_keep = undecided & ~blocked
-        keep = keep | new_keep
-        new_supp = (a & new_keep[:, None]).any(axis=0)
-        undecided = undecided & ~new_keep & ~new_supp
-        return undecided, keep
-
-    _, keep = jax.lax.while_loop(
-        cond, body, (live, jnp.zeros((p,), bool)))
-    return keep
+    return _fixpoint_keep(supp_mat & (idx[:, None] < idx[None, :]), live)
 
 
 _LAZY_BLK = 256

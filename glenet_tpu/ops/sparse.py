@@ -894,15 +894,23 @@ def strided_output_sites(ids, mask, grid, kernel_size, stride, padding,
     return out_ids, out_mask
 
 
+# Per-level dilation multipliers for level_caps.  A stride-2 sparse conv
+# DILATES the active set ~3.2x/3.9x/2.9x the input voxel count at levels
+# 2/3/4 (measured, KITTI-scale clouds); the defaults add margin on top.
+# Overridable (e.g. for occupancy-measured serving budgets) — any change
+# must be paired with an accuracy probe (PERF_NOTES level-cap lesson):
+# overflow degrades gracefully (uniform rank decimation) but it DOES drop
+# geometry.
+LEVEL_CAP_MULTIPLIERS = (1.0, 3.5, 4.0, 3.0)
+
+
 def level_caps(max_voxels: int):
     """Static active-site budgets for backbone levels 1..4 (strides
-    1/2/4/8).  A stride-2 sparse conv DILATES the active set (spconv rule:
-    kernel-size neighborhood before the stride divide): measured on
-    KITTI-scale clouds the site counts are ~3.2x/3.9x/2.9x the input voxel
-    count at levels 2/3/4 — far above the input count.  Budgets must cover
-    that growth or the level-cap overflow silently drops geometry."""
+    1/2/4/8).  Budgets must cover the stride-2 dilation growth (see
+    LEVEL_CAP_MULTIPLIERS) or the level-cap overflow silently drops
+    geometry."""
     v = max_voxels
-    return (v, int(3.5 * v), 4 * v, 3 * v)
+    return tuple(int(m * v) for m in LEVEL_CAP_MULTIPLIERS)
 
 
 def strided_gather_table(in_ids, in_mask, out_ids, out_mask, grid,
@@ -994,3 +1002,69 @@ def to_dense(features, ids, mask, grid):
     dense = dense.at[flat].set(
         jnp.where(mask[:, None], features, 0.0), mode='drop')
     return dense.reshape(nz, ny, nx, features.shape[-1])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def to_dense_expand(features, ids, mask, grid, out_dtype=None):
+    """Batched sorted-sparse rows -> dense canvases, WITHOUT a row
+    scatter.
+
+    XLA lowers an N-row scatter into a ~165 ns/row serial loop (measured:
+    67 ms for 2 x 160k x 64ch rows into level-3 KITTI canvases — the
+    single largest op of the round-5 predict trace).  Because `ids` are
+    sorted, the dense canvas is just the row table EXPANDED with zero
+    rows at the gaps: an occupancy bitmap + exclusive cumsum gives every
+    cell its source-row index, and ONE monotone row take materializes the
+    canvas (measured 36 ms in bf16, and the occupancy plane — which the
+    dense backbone levels need anyway — comes free).
+
+    The custom VJP keeps the backward a GATHER (d_features[i] =
+    g[ids[i]]): default AD of the take form would scatter-add 3.1M rows
+    (every inactive cell hitting the padding row).
+
+    Args: features (B, V, C); ids (B, V) sorted (n_cells sentinel in
+    invalid slots); mask (B, V); grid (nx, ny, nz) static.
+    Returns: dense (B, nz, ny, nx, C) in out_dtype (features.dtype if
+    None), occ (B, nz, ny, nx) bool.
+    """
+    return _to_dense_expand_fwd(features, ids, mask, grid, out_dtype)[0]
+
+
+def _to_dense_expand_fwd(features, ids, mask, grid, out_dtype):
+    nx, ny, nz = grid
+    n_cells = nz * ny * nx
+    b, v, c = features.shape
+    dt = out_dtype or features.dtype
+    flat = jnp.where(mask, ids, n_cells)
+    # rank-1 batch-merged scatter (batched scatters serialize; see
+    # PERF_NOTES "Batched / multi-operand scatters serialize")
+    midx = (flat + jnp.arange(b, dtype=jnp.int32)[:, None]
+            * (n_cells + 1)).reshape(-1)
+    occ = jnp.zeros((b * (n_cells + 1),), jnp.int8).at[midx].set(
+        1, mode='drop').reshape(b, n_cells + 1)[:, :n_cells]
+    csum = jnp.cumsum(occ.astype(jnp.int32), axis=-1)
+    g = jnp.where(occ > 0, csum - 1, v)                    # (B, n_cells)
+    padded = jnp.concatenate(
+        [features, jnp.zeros((b, 1, c), features.dtype)],
+        axis=1).astype(dt)
+    dense = _take_rows_merged(padded, g).reshape(b, nz, ny, nx, c)
+    return (dense, occ.reshape(b, nz, ny, nx) > 0), (ids, mask)
+
+
+def _to_dense_expand_bwd(grid, out_dtype, res, cts):
+    ids, mask = res
+    g_dense, _ = cts
+    b, nz, ny, nx, c = g_dense.shape
+    n_cells = nz * ny * nx
+    gd = jnp.concatenate(
+        [g_dense.reshape(b, n_cells, c),
+         jnp.zeros((b, 1, c), g_dense.dtype)], axis=1)
+    flat = jnp.where(mask, ids, n_cells)
+    d_feat = _take_rows_merged(gd, flat)
+    d_feat = jnp.where(mask[..., None], d_feat, 0.0)
+    return d_feat.astype(jnp.float32), None, None
+
+
+to_dense_expand.defvjp(
+    lambda f, i, m, grid, dt: _to_dense_expand_fwd(f, i, m, grid, dt),
+    _to_dense_expand_bwd)

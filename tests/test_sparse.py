@@ -436,3 +436,54 @@ def test_gather_gemm_b_low_mem_inverse_shape(monkeypatch):
     monkeypatch.setattr(sparse, 'GATHER_BYTES_BUDGET', 4096)
     low = np.asarray(sparse.gather_gemm_b(feats, nbr, w))
     np.testing.assert_allclose(low, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_to_dense_expand_matches_scatter_and_grads():
+    """to_dense_expand == to_dense (values + occupancy), and its custom
+    VJP (gather) == default AD of the scatter form."""
+    rng = np.random.RandomState(11)
+    feats1, ids1, mask1 = make_sparse(rng, 60, 96, 5)
+    feats2, ids2, mask2 = make_sparse(rng, 33, 96, 5)
+    feats = jnp.stack([feats1, feats2])
+    ids = jnp.stack([ids1, ids2])
+    mask = jnp.stack([mask1, mask2])
+
+    dense, occ = jax.jit(
+        lambda f: sparse.to_dense_expand(f, ids, mask, GRID))(feats)
+    ref = np.stack([densify(feats1, ids1, mask1),
+                    densify(feats2, ids2, mask2)])
+    np.testing.assert_allclose(np.asarray(dense), ref, atol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(occ), (np.abs(ref).sum(-1) > 0)
+        | np.asarray(jnp.stack([
+            sparse.to_dense(jnp.ones_like(mask1, jnp.float32)[:, None],
+                            ids1, mask1, GRID)[..., 0] > 0,
+            sparse.to_dense(jnp.ones_like(mask2, jnp.float32)[:, None],
+                            ids2, mask2, GRID)[..., 0] > 0])))
+
+    def loss_new(f):
+        d, _ = sparse.to_dense_expand(f, ids, mask, GRID)
+        return jnp.sum(jnp.sin(d) * d)
+
+    def loss_ref(f):
+        d = jax.vmap(lambda ff, ii, mm: sparse.to_dense(
+            ff, ii, mm, GRID))(f, ids, mask)
+        return jnp.sum(jnp.sin(d) * d)
+
+    g_new = jax.jit(jax.grad(loss_new))(feats)
+    g_ref = jax.jit(jax.grad(loss_ref))(feats)
+    np.testing.assert_allclose(np.asarray(g_new),
+                               np.asarray(jnp.where(mask[..., None],
+                                                    g_ref, 0.0)),
+                               atol=1e-5)
+
+
+def test_to_dense_expand_bf16_dtype():
+    rng = np.random.RandomState(3)
+    feats, ids, mask = make_sparse(rng, 20, 32, 4)
+    dense, occ = sparse.to_dense_expand(
+        feats[None], ids[None], mask[None], GRID, jnp.bfloat16)
+    assert dense.dtype == jnp.bfloat16
+    ref = densify(feats, ids, mask)
+    np.testing.assert_allclose(np.asarray(dense[0], np.float32), ref,
+                               atol=0.02, rtol=0.01)

@@ -12,9 +12,14 @@ implied FLOP/s above the chip's bf16 peak raises an AssertionError.
 
 Sync rule (measured, axon tunnel): jax.block_until_ready on a SCALAR
 output returns ~instantly without waiting for execution (0.12 ms reported
-for a 1.93 TFLOP program); blocking on a LARGE output array agrees with
-the device trace and with a host fetch to <5%.  So every timing loop here
-blocks on the full output tree, never on a loss/carry scalar alone.
+for a 1.93 TFLOP program); blocking on a LARGE output array USUALLY
+agrees with the device trace and with a host fetch to <5% — but round 5
+observed it, too, returning pre-execution on occasion (0.25 ms reported
+for a 1.73-TFLOP loop; the physicality assert caught it).  So every
+timing loop here blocks on the full output tree AND host-fetches one
+element of the largest output leaf at loop end (`_sync`): a host fetch
+cannot complete before the data exists.  The fetch costs one tunnel
+round trip (~30-60 ms) amortized over the loop.
 
 Usage: python tools/bench_model.py [second|glenet_vr|all]
 """
@@ -26,7 +31,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
 
-BATCH = 2
+import os
+
+BATCH = int(os.environ.get('BENCH_BATCH', '2'))
 MAX_POINTS = 32768
 V5E_PEAK_FLOPS = 197e12    # bf16 peak, one v5e chip
 
@@ -51,6 +58,18 @@ def _check_physical(name, what, dt, flops):
         f' TFLOP/s peak — the timing loop is broken (overlap/elision)')
     print(f'[{name}] {what}: {flops / 1e12:.2f} TFLOP/step, '
           f'MFU {implied / V5E_PEAK_FLOPS:.3f}')
+
+
+def _sync(tree):
+    """Force + wait for execution of `tree`: block_until_ready plus a
+    host fetch of one element of the largest leaf (block_until_ready
+    alone has been observed returning pre-execution over the axon
+    tunnel; a data fetch cannot)."""
+    import jax
+    import numpy as np
+    jax.block_until_ready(tree)
+    big = max(jax.tree_util.tree_leaves(tree), key=lambda x: x.size)
+    return np.asarray(jax.numpy.ravel(big)[0])
 
 
 def make_scene(rng, n_points=MAX_POINTS):
@@ -131,8 +150,15 @@ def bench_one(cfg_path, name):
         pts = batch['points'] + carry * 1e-30
         out = det.net.apply(variables, pts, batch['points_mask'],
                             train=False)
+        # reduce every leaf to a scalar: keeps ALL computation live (no
+        # DCE) but avoids materializing the multi-GB forward tree as
+        # program outputs each iteration — returning the raw tree
+        # measured 6.5 s/it of allocator/handle churn where predict (a
+        # computational superset with small outputs) runs in 0.55 s
+        sums = jax.tree_util.tree_map(
+            lambda x: jnp.sum(x.astype(jnp.float32)), out)
         leaf = jax.tree_util.tree_leaves(out)[0]
-        return out, jnp.tanh(jnp.sum(leaf))
+        return sums, jnp.tanh(jnp.sum(leaf))
 
     @jax.jit
     def predict(variables, batch, carry):
@@ -152,7 +178,7 @@ def bench_one(cfg_path, name):
     t0 = time.perf_counter()
     for _ in range(n):
         out, carry = fwd(variables, batch, carry)
-    jax.block_until_ready(out)          # NOT the carry scalar — see header
+    _sync(out)                          # see header sync rule
     dt = (time.perf_counter() - t0) / n
     print(f'[{name}] fwd: {dt * 1e3:.1f} ms/batch '
           f'({BATCH / dt:.1f} scans/s)')
@@ -168,7 +194,7 @@ def bench_one(cfg_path, name):
     t0 = time.perf_counter()
     for _ in range(n):
         out, carry = predict(variables, batch, carry)
-    jax.block_until_ready(out)          # NOT the carry scalar — see header
+    _sync(out)                          # see header sync rule
     dt = (time.perf_counter() - t0) / n
     print(f'[{name}] predict: {dt * 1e3:.1f} ms/batch '
           f'({BATCH / dt:.1f} scans/s)')
@@ -187,7 +213,7 @@ def bench_one(cfg_path, name):
     for i in range(n):
         params, mstate, opt_state, loss = train_step(
             params, mstate, opt_state, batch, jax.random.PRNGKey(i))
-    jax.block_until_ready(params)       # NOT the loss scalar — see header
+    _sync(params)                       # see header sync rule
     dt = (time.perf_counter() - t0) / n
     print(f'[{name}] train step: {dt * 1e3:.1f} ms/batch '
           f'({BATCH / dt:.1f} scans/s), loss={float(loss):.3f}')
