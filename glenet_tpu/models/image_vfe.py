@@ -214,10 +214,28 @@ class ImageVFE(nn.Module):
         num_bins = int(disc['num_bins'])
         cr = mcfg.FFN.CHANNEL_REDUCE
 
-        feat, logits = DDNLite(num_bins=num_bins,
-                               feat_ch=int(cr['out_channels']),
-                               axis_name=self.axis_name,
-                               name='ddn')(images, train=train)
+        ddn_name = str(mcfg.FFN.DDN.get('NAME', 'DDNLite'))
+        if ddn_name == 'DDNDeepLabV3':
+            # reference topology (ddn_deeplabv3.py + depth_ffn.py:23-28):
+            # DeepLabV3-ResNet trunk; layer1 features pass through the
+            # config's CHANNEL_REDUCE BasicBlock2D
+            from .ddn_deeplab import DDNDeepLabV3
+            blocks = {'ResNet50': (3, 4, 6, 3),
+                      'ResNet101': (3, 4, 23, 3)}[
+                str(mcfg.FFN.DDN.get('BACKBONE_NAME', 'ResNet101'))]
+            raw_feat, logits = DDNDeepLabV3(
+                num_bins=num_bins, blocks=blocks,
+                axis_name=self.axis_name, name='ddn')(images, train=train)
+            feat = ConvBlock(int(cr['out_channels']),
+                             int(cr.get('kernel_size', 1)),
+                             int(cr.get('stride', 1)), padding=0,
+                             axis_name=self.axis_name,
+                             name='channel_reduce')(raw_feat, train=train)
+        else:
+            feat, logits = DDNLite(num_bins=num_bins,
+                                   feat_ch=int(cr['out_channels']),
+                                   axis_name=self.axis_name,
+                                   name='ddn')(images, train=train)
         probs = jax.nn.softmax(logits, axis=-1)[..., :num_bins]
         # frustum volume (B, D, h, w, C)
         frustum = feat[:, None] * jnp.transpose(

@@ -894,14 +894,17 @@ def strided_output_sites(ids, mask, grid, kernel_size, stride, padding,
     return out_ids, out_mask
 
 
-# Per-level dilation multipliers for level_caps.  A stride-2 sparse conv
-# DILATES the active set ~3.2x/3.9x/2.9x the input voxel count at levels
-# 2/3/4 (measured, KITTI-scale clouds); the defaults add margin on top.
-# Overridable (e.g. for occupancy-measured serving budgets) — any change
-# must be paired with an accuracy probe (PERF_NOTES level-cap lesson):
-# overflow degrades gracefully (uniform rank decimation) but it DOES drop
-# geometry.
-LEVEL_CAP_MULTIPLIERS = (1.0, 3.5, 4.0, 3.0)
+# Per-level dilation multipliers for level_caps, in units of the voxel
+# BUDGET.  A stride-2 sparse conv DILATES the active set; measured with
+# tools/occupancy_probe.py on KITTI-scale bench scenes: max actives =
+# 3.19x / 3.66x / 1.98x the LEVEL-1 ACTIVE count at levels 2/3/4, and a
+# uniform-random cloud (the isolated-voxel worst case) dilates 3.04x at
+# level 2.  The defaults cover budget-saturated scenes at those ratios
+# plus margin; the prior worst-case (3.5, 4, 3) left the level-4 cap 46%
+# empty (pure padding FLOPs).  Any tightening must be paired with an
+# accuracy probe (PERF_NOTES level-cap lesson): overflow degrades
+# gracefully (uniform rank decimation) but it DOES drop geometry.
+LEVEL_CAP_MULTIPLIERS = (1.0, 3.3, 3.8, 2.1)
 
 
 def level_caps(max_voxels: int):

@@ -182,6 +182,68 @@ def convert_pfn_layer(sd, prefix='', flax_idx=0):
     return p, {'MaskedBatchNorm_0': bn_s}
 
 
+def convert_ddn_deeplabv3(sd, blocks=(3, 4, 23, 3), prefix=''):
+    """torchvision deeplabv3_resnet{50,101} state dict -> our
+    models/ddn_deeplab.DDNDeepLabV3 variables.
+
+    Source names are torchvision's (the reference loads them via
+    ddn_template.py:18-30 with `pretrained_path`): backbone.conv1/bn1,
+    backbone.layer{L}.{B}.conv{1..3}/bn{1..3}/downsample.{0,1}, and the
+    DeepLabHead at classifier.0 (ASPP: convs.0..3 conv+bn, convs.4
+    pool-branch, project) / classifier.1-2 (3x3 conv + bn) /
+    classifier.4 (final 1x1 with bias).  Output equivalence vs a
+    randomly initialized torch mirror: tests/test_ddn_deeplab.py.
+    Returns (params, batch_stats).
+    """
+    def bn(dst_p, dst_s, name, key):
+        bn_p, bn_s = t2f_bn(sd, key)
+        dst_p[name] = {'BatchNorm_0': bn_p}
+        dst_s[name] = {'BatchNorm_0': bn_s}
+
+    bb_p, bb_s = {}, {}
+    bb_p['conv1'] = {'kernel': t2f_conv(sd[f'{prefix}backbone.conv1.weight'])}
+    bn(bb_p, bb_s, 'bn1', f'{prefix}backbone.bn1')
+    for li, n in enumerate(blocks, start=1):
+        for bi in range(n):
+            src = f'{prefix}backbone.layer{li}.{bi}'
+            blk_p, blk_s = {}, {}
+            for ci in (1, 2, 3):
+                blk_p[f'conv{ci}'] = {
+                    'kernel': t2f_conv(sd[f'{src}.conv{ci}.weight'])}
+                bn(blk_p, blk_s, f'bn{ci}', f'{src}.bn{ci}')
+            if bi == 0:
+                blk_p['downsample_conv'] = {
+                    'kernel': t2f_conv(sd[f'{src}.downsample.0.weight'])}
+                bn(blk_p, blk_s, 'downsample_bn', f'{src}.downsample.1')
+            bb_p[f'layer{li}_{bi}'] = blk_p
+            bb_s[f'layer{li}_{bi}'] = blk_s
+
+    aspp_p, aspp_s = {}, {}
+    for i in range(4):
+        aspp_p[f'conv{i}'] = {'kernel': t2f_conv(
+            sd[f'{prefix}classifier.0.convs.{i}.0.weight'])}
+        bn(aspp_p, aspp_s, f'bn{i}', f'{prefix}classifier.0.convs.{i}.1')
+    aspp_p['conv_pool'] = {'kernel': t2f_conv(
+        sd[f'{prefix}classifier.0.convs.4.1.weight'])}
+    bn(aspp_p, aspp_s, 'bn_pool', f'{prefix}classifier.0.convs.4.2')
+    aspp_p['project'] = {'kernel': t2f_conv(
+        sd[f'{prefix}classifier.0.project.0.weight'])}
+    bn(aspp_p, aspp_s, 'project_bn', f'{prefix}classifier.0.project.1')
+
+    params = {'backbone': bb_p, 'aspp': aspp_p,
+              'head_conv': {'kernel': t2f_conv(
+                  sd[f'{prefix}classifier.1.weight'])},
+              'head_out': {'kernel': t2f_conv(
+                  sd[f'{prefix}classifier.4.weight']),
+                  'bias': np.asarray(sd[f'{prefix}classifier.4.bias'])}}
+    stats = {'backbone': bb_s, 'aspp': aspp_s}
+    hb_p, hb_s = {}, {}
+    bn(hb_p, hb_s, 'head_bn', f'{prefix}classifier.2')
+    params['head_bn'] = hb_p['head_bn']
+    stats['head_bn'] = hb_s['head_bn']
+    return params, stats
+
+
 def convert_fc_stack(sd, prefix, n_layers, our_name, with_final=None):
     """RoIHeadTemplate.make_fc_layers Sequential [Conv1d, BN, ReLU]*n +
     final Conv1d -> our fc_stack Dense_{name}_{i} + final Dense."""
