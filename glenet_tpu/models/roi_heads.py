@@ -221,6 +221,165 @@ class CornerAggregation(nn.Module):
         return nn.relu(out)
 
 
+def ball_taps(query_range, radius, voxel_size_lvl):
+    """Static scan-ordered (dz, dy, dx) taps that can contain a neighbor
+    within `radius` of a query point anywhere in its cell.
+
+    The reference voxel_query kernel scans dz (outer) / dy / dx (inner)
+    over +-query_range and accepts neighbors whose CENTER lies within
+    the metric radius of the (continuous) grid point
+    (voxel_query_gpu.cu:39-85).  A tap at cell offset d can produce an
+    accepted neighbor only if max(0, |d| - 0.5) * vs is within the ball
+    per axis — everything else is pruned statically (cuts ~729 taps to
+    ~150-250); the exact metric test still runs per query at runtime.
+    Returns (T, 3) int32 in the kernel's scan order.
+    """
+    zr, yr, xr = (int(v) for v in query_range)
+    vx, vy, vz = (float(v) for v in voxel_size_lvl)
+    taps = []
+    for dz in range(-zr, zr + 1):
+        mz = max(0.0, abs(dz) - 0.5) * vz
+        for dy in range(-yr, yr + 1):
+            my = max(0.0, abs(dy) - 0.5) * vy
+            for dx in range(-xr, xr + 1):
+                mx = max(0.0, abs(dx) - 0.5) * vx
+                if mx * mx + my * my + mz * mz <= radius * radius + 1e-6:
+                    taps.append((dz, dy, dx))
+    return np.asarray(taps, np.int32)
+
+
+def voxel_query_select(query_xyz, v2p_flat, taps, grid, vs, origin,
+                       radius, nsample: int):
+    """First-`nsample` active neighbors in scan order within the metric
+    ball, per query (reference voxel_query_gpu.cu semantics incl. the
+    replicate-first-hit padding of unfilled slots).
+
+    Args:
+        query_xyz: (Q, 3) metric grid points;
+        v2p_flat: (n_cells,) int32 — active-slot index per cell, -1 empty
+            (reference generate_voxel2pinds);
+        taps: (T, 3) int32 scan-ordered (dz, dy, dx) from ball_taps;
+        grid: (nx, ny, nz) level grid; vs: (3,) metric voxel size at this
+        level; origin: (3,) pc_range[:3].
+    Returns:
+        slot16: (Q, nsample) int32 neighbor slots (replicate-first
+            padding; 0 when the ball is empty);
+        center16: (Q, nsample, 3) neighbor voxel centers (0 when empty);
+        empty: (Q,) bool — no neighbor at all (reference
+            empty_ball_mask).
+    """
+    nx, ny, nz = grid
+    cells = jnp.floor((query_xyz - origin) / vs).astype(jnp.int32)  # x,y,z
+    tz = cells[None, :, 2] + taps[:, 0:1]                     # (T, Q)
+    ty = cells[None, :, 1] + taps[:, 1:2]
+    tx = cells[None, :, 0] + taps[:, 2:3]
+    in_rng = ((tz >= 0) & (tz < nz) & (ty >= 0) & (ty < ny)
+              & (tx >= 0) & (tx < nx))
+    tid = jnp.where(in_rng, tz * (ny * nx) + ty * nx + tx, 0)
+    slot = jnp.where(in_rng,
+                     jnp.take(v2p_flat, tid.reshape(-1),
+                              mode='clip').reshape(tid.shape), -1)
+    center = (jnp.stack([tx, ty, tz], axis=-1).astype(jnp.float32)
+              + 0.5) * vs + origin                            # (T, Q, 3)
+    d2 = jnp.sum((center - query_xyz[None]) ** 2, axis=-1)
+    valid = in_rng & (slot >= 0) & (d2 <= radius * radius)    # (T, Q)
+
+    t = taps.shape[0]
+    big = t + 1
+    keys = jnp.where(valid, jnp.arange(t, dtype=jnp.int32)[:, None],
+                     big).T                                   # (Q, T)
+    k = min(nsample, t)
+    neg_vals, sel = jax.lax.top_k(-keys, k)                   # (Q, k)
+    if k < nsample:       # coarse levels can have fewer taps than slots
+        pad = nsample - k
+        neg_vals = jnp.pad(neg_vals, ((0, 0), (0, pad)),
+                           constant_values=-big)
+        sel = jnp.pad(sel, ((0, 0), (0, pad)))
+    ok = neg_vals > -big
+    slot_qt = slot.T                                          # (Q, T)
+    s16 = jnp.take_along_axis(slot_qt, sel, axis=1)
+    c16 = jnp.take_along_axis(
+        jnp.transpose(center, (1, 0, 2)), sel[..., None], axis=1)
+    empty = ~ok[:, 0]
+    # unfilled slots replicate the FIRST hit (voxel_query_gpu.cu:70-76);
+    # empty balls -> slot 0 + zeroed features/rel downstream
+    s16 = jnp.where(ok, s16, s16[:, :1])
+    c16 = jnp.where(ok[..., None], c16, c16[:, :1])
+    s16 = jnp.where(empty[:, None], 0, s16)
+    return s16, c16, empty
+
+
+class VoxelQueryPool(nn.Module):
+    """Reference-faithful per-scale RoI pooling
+    (NeighborVoxelSAModuleMSG, voxel_pool_modules.py:8-130): mlp_in
+    (linear+BN over the active voxels) -> voxel_query first-16 grouping
+    -> pos MLP on (neighbor center - grid point) -> relu(sum) ->
+    max/avg pool over nsample -> mlp_out.  BN over the grouped tensors
+    is UNMASKED (the reference normalizes over every grouped slot,
+    empties included).  Selected by ROI_GRID_POOL.POOL_MODE ==
+    'voxel_query' — makes reference VoxelRCNN checkpoints convert
+    exactly (weight_converter.convert_voxelrcnn_head_voxel_query)."""
+    mlp_mid: int
+    mlp_out_ch: int
+    query_range: tuple
+    radius: float
+    nsample: int
+    pool_method: str
+    grid: tuple
+    stride: int
+    voxel_size: tuple
+    pc_range: tuple
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, feats, active_mask, v2p_flat, grid_pts,
+                 train: bool = True):
+        """feats (B, N, C) active-voxel features (zeros at invalid);
+        active_mask (B, N); v2p_flat (B, n_cells) int32 slot-or--1;
+        grid_pts (B, Q, 3).  Returns (B, Q, mlp_out_ch)."""
+        from .layers import MaskedBatchNorm
+        b, n, _ = feats.shape
+        q = grid_pts.shape[1]
+        h = nn.Dense(self.mlp_mid, use_bias=False, name='mlp_in')(feats)
+        # torch-default eps: the reference pool layers use plain
+        # BatchNorm1d/2d (voxel_pool_modules.py:35-49), not pcdet's 1e-3
+        h = MaskedBatchNorm(eps=1e-5, axis_name=self.axis_name,
+                            name='bn_in')(
+            h, mask=active_mask, use_running_average=not train)
+        h = jnp.where(active_mask[..., None], h, 0.0)
+
+        vs = tuple(float(v) * self.stride for v in self.voxel_size)
+        taps = jnp.asarray(ball_taps(self.query_range, self.radius, vs))
+        vs_a = jnp.asarray(vs, jnp.float32)
+        origin = jnp.asarray(self.pc_range[:3], jnp.float32)
+
+        def one(qxyz, v2p):
+            return voxel_query_select(qxyz, v2p, taps, self.grid, vs_a,
+                                      origin, self.radius, self.nsample)
+
+        s16, c16, empty = jax.vmap(one)(grid_pts, v2p_flat)   # (B,Q,ns)
+        grouped = sparse._take_rows_merged(h, s16)            # (B,Q,ns,mid)
+        grouped = jnp.where(empty[..., None, None], 0.0, grouped)
+        rel = c16 - grid_pts[:, :, None, :]
+        rel = jnp.where(empty[..., None, None], 0.0, rel)
+
+        p = nn.Dense(self.mlp_mid, use_bias=False, name='mlp_pos')(rel)
+        p = MaskedBatchNorm(eps=1e-5, axis_name=self.axis_name,
+                            name='bn_pos')(
+            p, use_running_average=not train)                 # unmasked
+        g = nn.relu(grouped + p)
+        if self.pool_method == 'avg_pool':
+            pooled = g.mean(axis=2)
+        else:
+            pooled = g.max(axis=2)                            # (B,Q,mid)
+        out = nn.Dense(self.mlp_out_ch, use_bias=False,
+                       name='mlp_out')(pooled)
+        out = MaskedBatchNorm(eps=1e-5, axis_name=self.axis_name,
+                              name='bn_out')(
+            out, use_running_average=not train)               # unmasked
+        return nn.relu(out)
+
+
 _CORNER_OFFS = np.stack(np.meshgrid([0, 1], [0, 1], [0, 1],
                                     indexing='ij'), -1).reshape(8, 3)
 
@@ -327,8 +486,48 @@ class VoxelRCNNHead(nn.Module):
             # backward fault under investigation
             level['features'] = jax.lax.optimization_barrier(
                 level['features'])
-            mlps = pool_cfg.POOL_LAYERS[src]['MLPS'][0]
+            lay_cfg = pool_cfg.POOL_LAYERS[src]
+            mlps = lay_cfg['MLPS'][0]
             stride = level['stride']
+            if str(pool_cfg.get('POOL_MODE', 'corner')) == 'voxel_query':
+                # reference-faithful NeighborVoxelSAModuleMSG pooling:
+                # exact weight conversion from VoxelRCNN checkpoints
+                nx_l, ny_l, nz_l = level['grid']
+                n_cells = nx_l * ny_l * nz_l
+                if level['kind'] == 'sparse':
+                    f2d, amask = level['features'], level['mask']
+                    ids_b = level['ids']
+                    bsz, v = ids_b.shape
+                    midx = (jnp.where(amask, ids_b, n_cells)
+                            + jnp.arange(bsz, dtype=jnp.int32)[:, None]
+                            * (n_cells + 1)).reshape(-1)
+                    v2p = jnp.full((bsz * (n_cells + 1),), -1, jnp.int32
+                                   ).at[midx].set(
+                        jnp.tile(jnp.arange(v, dtype=jnp.int32), bsz),
+                        mode='drop').reshape(bsz, n_cells + 1)[:, :n_cells]
+                else:
+                    df = level['features']
+                    bsz = df.shape[0]
+                    f2d = df.reshape(bsz, n_cells, df.shape[-1])
+                    amask = level['occ'].reshape(bsz, n_cells)
+                    v2p = jnp.where(
+                        amask, jnp.arange(n_cells, dtype=jnp.int32)[None],
+                        -1)
+                agg = VoxelQueryPool(
+                    mlp_mid=mlps[0], mlp_out_ch=mlps[1],
+                    query_range=tuple(int(x)
+                                      for x in lay_cfg['QUERY_RANGES'][0]),
+                    radius=float(lay_cfg['POOL_RADIUS'][0]),
+                    nsample=int(lay_cfg['NSAMPLE'][0]),
+                    pool_method=str(lay_cfg.get('POOL_METHOD',
+                                                'max_pool')),
+                    grid=level['grid'], stride=stride,
+                    voxel_size=tuple(self.voxel_size),
+                    pc_range=tuple(self.pc_range),
+                    axis_name=self.axis_name, name=f'pool_{src}')(
+                    f2d, amask, v2p, grid_pts, train)
+                pooled.append(agg.reshape(b * r * g ** 3, -1))
+                continue
             if level['kind'] == 'sparse':
                 gather = jax.vmap(functools.partial(
                     gather_corners_sparse, grid=level['grid'], stride=stride,
@@ -355,9 +554,11 @@ class VoxelRCNNHead(nn.Module):
         feats = feats.reshape(b * r, g ** 3 * feats.shape[-1])
 
         def fc_stack(x, sizes, name):
+            # torch-default eps: the reference head FCs use plain
+            # BatchNorm1d (voxelrcnn_head.py:40-80), not pcdet's 1e-3
             for i, s in enumerate(sizes):
                 x = nn.Dense(s, use_bias=False, name=f'{name}_{i}')(x)
-                x = MaskedBatchNorm(axis_name=self.axis_name,
+                x = MaskedBatchNorm(eps=1e-5, axis_name=self.axis_name,
                                     name=f'{name}_bn{i}')(
                     x, use_running_average=not train)
                 x = nn.relu(x)
@@ -382,12 +583,14 @@ class VoxelRCNNHead(nn.Module):
                                kernel_init=nn.initializers.normal(0.0001))(reg_feat)
             # variance -> confidence scalar (voxelrcnn_kl_label_iou_head.py
             # :14-73): BN - ReLU - FC(64) - BN - ReLU - FC(1) - sigmoid
-            h = MaskedBatchNorm(axis_name=self.axis_name, name='std_bn0')(
+            h = MaskedBatchNorm(eps=1e-5, axis_name=self.axis_name,
+                                name='std_bn0')(
                 reg_std, use_running_average=not train)
             h = nn.relu(h)
             h = nn.Dense(64, name='std_fc1',
                          kernel_init=nn.initializers.normal(0.0001))(h)
-            h = MaskedBatchNorm(axis_name=self.axis_name, name='std_bn1')(
+            h = MaskedBatchNorm(eps=1e-5, axis_name=self.axis_name,
+                                name='std_bn1')(
                 h, use_running_average=not train)
             h = nn.relu(h)
             conf = jax.nn.sigmoid(nn.Dense(
@@ -493,9 +696,11 @@ class PVRCNNHead(nn.Module):
         feats = pooled.reshape(b * r, g ** 3 * pooled.shape[-1])
 
         def fc_stack(x, sizes, name):
+            # torch-default eps: the reference head FCs use plain
+            # BatchNorm1d (voxelrcnn_head.py:40-80), not pcdet's 1e-3
             for i, s in enumerate(sizes):
                 x = nn.Dense(s, use_bias=False, name=f'{name}_{i}')(x)
-                x = MaskedBatchNorm(axis_name=self.axis_name,
+                x = MaskedBatchNorm(eps=1e-5, axis_name=self.axis_name,
                                     name=f'{name}_bn{i}')(
                     x, use_running_average=not train)
                 x = nn.relu(x)

@@ -264,6 +264,87 @@ def convert_fc_stack(sd, prefix, n_layers, our_name, with_final=None):
     return params, stats
 
 
+def convert_voxel_query_pool(sd, prefix):
+    """One NeighborVoxelSAModuleMSG (voxel_pool_modules.py:30-54) ->
+    our VoxelQueryPool: mlps_in.0 (Conv1d+BN1d), mlps_pos.0 (Conv2d 1x1
+    + BN2d), mlps_out.0 (Conv1d+BN1d)."""
+    def lin_of_conv(key):
+        w = np.asarray(sd[key])          # (O, I, 1) or (O, I, 1, 1)
+        return t2f_linear(w.reshape(w.shape[0], w.shape[1]))
+
+    params, stats = {}, {}
+    for tname, ours in (('mlps_in', 'in'), ('mlps_pos', 'pos'),
+                        ('mlps_out', 'out')):
+        params[f'mlp_{ours}'] = {
+            'kernel': lin_of_conv(f'{prefix}{tname}.0.0.weight')}
+        bn_p, bn_s = t2f_bn(sd, f'{prefix}{tname}.0.1')
+        params[f'bn_{ours}'] = bn_p
+        stats[f'bn_{ours}'] = bn_s
+    return params, stats
+
+
+def _torch_seq_fc(sd, prefix, our_name):
+    """Walk a reference make-fc Sequential (Linear/BN1d/ReLU[/Dropout])
+    by probing indices; emits our Dense {our_name}_{i} + BN
+    {our_name}_bn{i} pairs."""
+    params, stats = {}, {}
+    i = 0
+    seq = 0
+    while f'{prefix}.{seq}.weight' in sd or \
+            f'{prefix}.{seq + 1}.weight' in sd:
+        if f'{prefix}.{seq}.weight' not in sd:   # skip a Dropout slot
+            seq += 1
+            continue
+        params[f'{our_name}_{i}'] = {
+            'kernel': t2f_linear(sd[f'{prefix}.{seq}.weight'])}
+        bn_p, bn_s = t2f_bn(sd, f'{prefix}.{seq + 1}')
+        params[f'{our_name}_bn{i}'] = bn_p
+        stats[f'{our_name}_bn{i}'] = bn_s
+        i += 1
+        seq += 3                                  # Linear, BN, ReLU
+    return params, stats
+
+
+def convert_voxelrcnn_kl_head(sd, features_source, prefix='roi_head.'):
+    """Reference VoxelRCNNKLLabelIoUHead (voxelrcnn_kl_label_iou_head.py
+    :14-73 + voxelrcnn_head.py:14-95) -> our VoxelRCNNHead in
+    POOL_MODE='voxel_query': pool layers (by FEATURES_SOURCE order),
+    shared/cls/reg FC stacks, cls/reg prediction heads, and the
+    variance branch (reg_std + BN-ReLU-FC-BN-ReLU-FC confidence MLP).
+    Returns (params, batch_stats)."""
+    def dense(key, bias=True):
+        d = {'kernel': t2f_linear(sd[f'{key}.weight'])}
+        if bias and f'{key}.bias' in sd:
+            d['bias'] = np.asarray(sd[f'{key}.bias'])
+        return d
+
+    params, stats = {}, {}
+    for k, src in enumerate(features_source):
+        p, s = convert_voxel_query_pool(
+            sd, f'{prefix}roi_grid_pool_layers.{k}.')
+        params[f'pool_{src}'] = p
+        stats[f'pool_{src}'] = s
+    for tname, ours in (('shared_fc_layer', 'shared'),
+                        ('cls_fc_layers', 'cls_fc'),
+                        ('reg_fc_layers', 'reg_fc')):
+        p, s = _torch_seq_fc(sd, f'{prefix}{tname}', ours)
+        params.update(p)
+        stats.update(s)
+    params['cls_pred'] = dense(f'{prefix}cls_pred_layer')
+    params['reg_pred'] = dense(f'{prefix}reg_pred_layer')
+    if f'{prefix}reg_std_layer.weight' in sd:
+        params['reg_std'] = dense(f'{prefix}reg_std_layer')
+        bn_p, bn_s = t2f_bn(sd, f'{prefix}reg_std_bn')
+        params['std_bn0'] = bn_p
+        stats['std_bn0'] = bn_s
+        params['std_fc1'] = dense(f'{prefix}reg_std_fc1')
+        bn_p, bn_s = t2f_bn(sd, f'{prefix}reg_std_bn1')
+        params['std_bn1'] = bn_p
+        stats['std_bn1'] = bn_s
+        params['std_fc2'] = dense(f'{prefix}reg_std_fc2')
+    return params, stats
+
+
 def merge_into(variables, path, params_sub, stats_sub):
     """Graft converted subtrees into a full flax variables dict (returns a
     new dict; `path` is a tuple of module names from the root)."""
@@ -477,6 +558,17 @@ def convert_second_family(cfg, state_dict, variables):
     merged = merge_into(merged, ('dense_head',), dh_p, dh_s)
     report['converted'].append('dense_head')
 
+    # ---- roi head (voxel-query mode only; see docstring) -------------------
+    roi_cfg = cfg.MODEL.get('ROI_HEAD', None)
+    if (roi_cfg is not None
+            and str(roi_cfg.get('ROI_GRID_POOL', {}).get(
+                'POOL_MODE', 'corner')) == 'voxel_query'
+            and 'roi_head.shared_fc_layer.0.weight' in sd):
+        rh_p, rh_s = convert_voxelrcnn_kl_head(
+            tsd, list(roi_cfg.ROI_GRID_POOL.FEATURES_SOURCE))
+        merged = merge_into(merged, ('roi_head',), rh_p, rh_s)
+        report['converted'].append('roi_head')
+
     return merged, _finish_report(report, sd, consumed)
 
 
@@ -510,6 +602,17 @@ def convert_pointpillar_family(cfg, state_dict, variables):
     merged = merge_into(merged, ('dense_head',), dh_p, dh_s)
     report['converted'].append('dense_head')
 
+    # ---- roi head (voxel-query mode only; see docstring) -------------------
+    roi_cfg = cfg.MODEL.get('ROI_HEAD', None)
+    if (roi_cfg is not None
+            and str(roi_cfg.get('ROI_GRID_POOL', {}).get(
+                'POOL_MODE', 'corner')) == 'voxel_query'
+            and 'roi_head.shared_fc_layer.0.weight' in sd):
+        rh_p, rh_s = convert_voxelrcnn_kl_head(
+            tsd, list(roi_cfg.ROI_GRID_POOL.FEATURES_SOURCE))
+        merged = merge_into(merged, ('roi_head',), rh_p, rh_s)
+        report['converted'].append('roi_head')
+
     return merged, _finish_report(report, sd, consumed)
 
 
@@ -530,15 +633,16 @@ def convert_full_model(cfg, state_dict, variables):
     KL / KL-IoU families, CenterHead).  Covers PointPillars, the SECOND
     family (incl. GLENet-S), GLENet-C, SECOND-IoU and CenterPoint.
 
-    RoI-head policy (documented; see also MIGRATION.md): second-stage
-    heads are NOT converted.  Our VoxelRCNN-family RoI pooling is the
-    corner-aggregation TPU redesign — its pooling MLPs parameterize a
-    different function than the reference's voxel-query
-    NeighborVoxelSAModuleMSG, so reference weights have no counterpart.
-    Converted checkpoints therefore initialize stage 1 exactly and leave
-    stage 2 at init; fine-tune the roi head (optionally with
-    train/bn_refresh.py to re-estimate BN moments) to recover full
-    accuracy.  The unconsumed roi-head keys are listed in the report.
+    RoI-head policy (see also MIGRATION.md): with
+    ROI_GRID_POOL.POOL_MODE == 'voxel_query' (configs/kitti_models/
+    GLENet_VR_vq.yaml) the VoxelRCNN-family second stage converts
+    EXACTLY (convert_voxelrcnn_kl_head: pool layers + FC tails +
+    variance branch).  In the default corner-aggregation mode the roi
+    head is NOT converted — its pooling MLPs parameterize a different
+    function than the reference's NeighborVoxelSAModuleMSG; converted
+    checkpoints then initialize stage 1 exactly, leave stage 2 at init,
+    and the measured recovery recipe (MIGRATION.md) fine-tunes it.  The
+    unconsumed roi-head keys are listed in the report.
     """
     vfe = cfg.MODEL.VFE.NAME
     bb3d_name = cfg.MODEL.get('BACKBONE_3D', {}).get('NAME')
@@ -602,5 +706,16 @@ def convert_full_model(cfg, state_dict, variables):
         dh_p, dh_s = convert_anchor_head(tsd)
     merged = merge_into(merged, ('dense_head',), dh_p, dh_s)
     report['converted'].append('dense_head')
+
+    # ---- roi head (voxel-query mode only; see docstring) -------------------
+    roi_cfg = cfg.MODEL.get('ROI_HEAD', None)
+    if (roi_cfg is not None
+            and str(roi_cfg.get('ROI_GRID_POOL', {}).get(
+                'POOL_MODE', 'corner')) == 'voxel_query'
+            and 'roi_head.shared_fc_layer.0.weight' in sd):
+        rh_p, rh_s = convert_voxelrcnn_kl_head(
+            tsd, list(roi_cfg.ROI_GRID_POOL.FEATURES_SOURCE))
+        merged = merge_into(merged, ('roi_head',), rh_p, rh_s)
+        report['converted'].append('roi_head')
 
     return merged, _finish_report(report, sd, consumed)
