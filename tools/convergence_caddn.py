@@ -194,8 +194,43 @@ def main():
                                                  peak_lr)
 
     predict = jax.jit(lambda v, b: det.predict(v, b))
+
+    # --- diagnosis probes (VERDICT r4 weak #5: 89.5 with zero analysis)
+    # (a) depth-bin top-1 accuracy at valid-depth pixels: separates DDN
+    #     capacity from frustum-sampler / head problems;
+    # (b) per-gt best-IoU + localization error of the nearest detection:
+    #     separates score/NMS misses from geometric error.
+    from glenet_tpu.models.image_vfe import bin_depths
+    from glenet_tpu.ops import iou3d
+    fwd_eval = jax.jit(lambda v, b: det.net_eval.apply(
+        v, b['points'], b['points_mask'], train=False,
+        camera={'images': b['images'],
+                'trans_lidar_to_cam': b['trans_lidar_to_cam'],
+                'trans_cam_to_img': b['trans_cam_to_img'],
+                'image_shape': b['image_shape']}))
+    try:
+        out0 = jax.device_get(fwd_eval({'params': params, **mstate},
+                                       batches[0]))
+        disc = cfg.MODEL.VFE.FFN.DISCRETIZE
+        dl = out0['depth_logits']                        # (B, h, w, D+1)
+        dm = np.asarray(batches[0]['depth_maps'])
+        tgt = np.asarray(bin_depths(
+            jnp.asarray(dm), disc['mode'], disc['depth_min'],
+            disc['depth_max'], int(disc['num_bins']), target=True))
+        valid = dm > 0
+        top1 = (dl.argmax(-1) == tgt) & valid
+        near = (np.abs(dl.argmax(-1) - tgt) <= 1) & valid
+        print(f'[diag] depth-bin top-1 acc at valid px: '
+              f'{top1.sum() / max(valid.sum(), 1):.3f}  '
+              f'(within +-1 bin: {near.sum() / max(valid.sum(), 1):.3f})',
+              flush=True)
+    except Exception as e:                      # probe must never kill
+        print(f'[diag] depth probe failed: {type(e).__name__}: {e}',
+              flush=True)
+
     calib = Calibration(CALIB_EVAL)
     gt_annos, dt_annos = [], []
+    miss_rows = []
     for bi, b in enumerate(batches):
         preds = predict({'params': params, **mstate}, b)
         fb = np.asarray(preds['final_boxes'])
@@ -207,10 +242,39 @@ def main():
         for k in range(fb.shape[0]):
             scene_idx = bi * BATCH + k
             gt, gm = scenes[scene_idx][1], scenes[scene_idx][2]
+            gtb = gt[gm][:, :7]
+            if len(gtb) and fv[k].any():
+                ious = np.asarray(iou3d.boxes_iou3d(
+                    jnp.asarray(gtb), jnp.asarray(fb[k][fv[k]])))
+                best = ious.max(axis=1)
+                bidx = ious.argmax(axis=1)
+                err = fb[k][fv[k]][bidx] - gtb
+                for gi in range(len(gtb)):
+                    miss_rows.append((best[gi], gtb[gi, 0],
+                                      err[gi, 0], err[gi, 1], err[gi, 2],
+                                      fs[k][fv[k]][bidx[gi]]))
+        for k in range(fb.shape[0]):
+            scene_idx = bi * BATCH + k
+            gt, gm = scenes[scene_idx][1], scenes[scene_idx][2]
             gt_annos.append(to_annos(gt[gm][:, :7], None, calib,
                                      image_shape=(H * EVAL_SCALE, W * EVAL_SCALE)))
             dt_annos.append(to_annos(fb[k][fv[k]], fs[k][fv[k]], calib,
                                      image_shape=(H * EVAL_SCALE, W * EVAL_SCALE)))
+
+    try:
+        mr = np.asarray(miss_rows)
+        if len(mr):
+            weak = mr[mr[:, 0] < 0.7]
+            print(f'[diag] per-gt best-IoU: mean {mr[:, 0].mean():.3f}, '
+                  f'<0.7: {len(weak)}/{len(mr)}; among those, mean |dx|='
+                  f'{np.abs(weak[:, 2]).mean() if len(weak) else 0:.2f} '
+                  f'|dy|={np.abs(weak[:, 3]).mean() if len(weak) else 0:.2f} '
+                  f'|dz|={np.abs(weak[:, 4]).mean() if len(weak) else 0:.2f} '
+                  f'matched-score={weak[:, 5].mean() if len(weak) else 0:.2f}'
+                  f' at ranges {np.round(weak[:, 1], 1).tolist()[:12]}',
+                  flush=True)
+    except Exception as e:
+        print(f'[diag] miss probe failed: {type(e).__name__}', flush=True)
 
     result_str, ret = kitti_eval.get_official_eval_result(
         gt_annos, dt_annos, ['Car'])
