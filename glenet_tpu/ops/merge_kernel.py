@@ -62,11 +62,25 @@ _QTR = BQ // 4    # quarter: 2 sublanes x 128 lanes
 _CHUNK = 1024     # table elements per DMA (Mosaic 1-D slice granularity)
 _NREP = 8         # stagger replicas (128-element start granularity)
 
-# Flip to run every x-block/strided table build through this kernel
-# (sparse.py consults it).
+# Tri-state: True / False force; None = auto (kernel on real TPU, sort
+# path elsewhere — compiled Pallas doesn't run on the CPU backend and
+# interpret mode is too slow for the CPU test suite).  sparse.py
+# consults enabled().
 ENABLED = False
 # Tests on the CPU backend set this so the kernel runs interpreted.
 INTERPRET = False
+
+_AUTO_ENABLED = None
+
+
+def enabled():
+    global _AUTO_ENABLED
+    if ENABLED is not None:
+        return ENABLED
+    if _AUTO_ENABLED is None:
+        import jax
+        _AUTO_ENABLED = jax.default_backend() == 'tpu'
+    return _AUTO_ENABLED
 
 
 def _kernel(off_ref, nst_ref, pos0_ref, flat_hbm, q_ref, out_ref,

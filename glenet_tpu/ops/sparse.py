@@ -464,7 +464,7 @@ def subm_xblock_table_b(ids, mask, grid):
     equivalence is oracle-tested).
     """
     from . import merge_kernel
-    if not merge_kernel.ENABLED:
+    if not merge_kernel.enabled():
         return jax.vmap(lambda i, m: subm_xblock_table(i, m, grid))(
             ids, mask)
     nx, ny, nz = grid
@@ -500,7 +500,7 @@ def strided_xblock_table_b(in_ids, in_mask, out_ids, out_mask, grid,
     sorted out_ids because each axis map is affine increasing and the
     per-axis ranges cannot carry into the next axis)."""
     from . import merge_kernel
-    if not merge_kernel.ENABLED:
+    if not merge_kernel.enabled():
         return jax.vmap(
             lambda i, m, oi, om: strided_xblock_table(
                 i, m, oi, om, grid, stride, padding))(
