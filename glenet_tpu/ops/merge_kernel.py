@@ -66,6 +66,15 @@ _NREP = 8         # stagger replicas (128-element start granularity)
 # path elsewhere — compiled Pallas doesn't run on the CPU backend and
 # interpret mode is too slow for the CPU test suite).  sparse.py
 # consults enabled().
+#
+# Round-5 chip measurement (tools/validate_merge_kernel.py, after the
+# chunk-row DMA fix that made Mosaic accept the kernel): EXACT at
+# V=140k/VQ=160k but 395 ms vs the sort path's 67 ms — ~140 us/block
+# across 2826 grid steps, i.e. per-block overhead (4 serialized
+# start/wait DMA fences + scalar window setup per quarter) dominates a
+# workload whose total table traffic is ~46 MB.  Kept OFF; the next
+# tuning levers are fewer/bigger grid steps (BQ >= 4096) and
+# double-buffered window streaming.
 ENABLED = False
 # Tests on the CPU backend set this so the kernel runs interpreted.
 INTERPRET = False
@@ -97,7 +106,7 @@ def _kernel(off_ref, nst_ref, pos0_ref, flat_hbm, q_ref, out_ref,
     k = pl.program_id(0)
     for quarter in range(4):                       # static unroll
         qi = k * 4 + quarter
-        off = off_ref[qi]
+        off = off_ref[qi]              # window start, CHUNK-row units
         n = nst_ref[qi]
         p0 = pos0_ref[qi]
         qv = q_ref[2 * quarter:2 * quarter + 2, :]           # (2, 128)
@@ -106,17 +115,26 @@ def _kernel(off_ref, nst_ref, pos0_ref, flat_hbm, q_ref, out_ref,
         m_ref[:, :] = jnp.full((2, 128), _I32_INF, jnp.int32)
 
         def body(s, _):
+            # Chunk-indexed DMA: the table is (n_chunks, 8, 128), so the
+            # sliced dim is an untiled leading dim and each chunk is a
+            # native (8, 128) tile (a dynamic 1-D flat offset fails
+            # Mosaic's divisible-by-tiling proof; a (N, 1024) row slice
+            # fails the sublane-8 alignment check).
             cp = pltpu.make_async_copy(
-                flat_hbm.at[pl.ds(off + s * _CHUNK, _CHUNK)],
-                scratch, sem)
+                flat_hbm.at[off + s], scratch, sem)
             cp.start()
             cp.wait()
-            t = scratch[:].reshape(1, 1, _CHUNK)
-            ge = t >= qv[:, :, None]                 # (2, 128, _CHUNK)
-            cnt_ref[:, :] = cnt_ref[:, :] + jnp.sum(
-                jnp.where(ge, 0, 1), axis=2, dtype=jnp.int32)
-            m_ref[:, :] = jnp.minimum(m_ref[:, :], jnp.min(
-                jnp.where(ge, t, _I32_INF), axis=2))
+            cnt = cnt_ref[:, :]
+            m = m_ref[:, :]
+            for r in range(8):                       # static sublanes
+                t = scratch[r, :].reshape(1, 1, 128)
+                ge = t >= qv[:, :, None]             # (2, 128, 128)
+                cnt = cnt + jnp.sum(
+                    jnp.where(ge, 0, 1), axis=2, dtype=jnp.int32)
+                m = jnp.minimum(m, jnp.min(
+                    jnp.where(ge, t, _I32_INF), axis=2))
+            cnt_ref[:, :] = cnt
+            m_ref[:, :] = m
             return 0
 
         lax.fori_loop(0, n, body, 0)
@@ -166,7 +184,7 @@ def resolve_sorted_queries(ids, queries, interpret: bool = False):
                       jnp.int32)], axis=1)
     reps = jnp.stack([gt_pad[:, r * 128:r * 128 + l_rep]
                       for r in range(_NREP)], axis=1)     # (B, 8, L)
-    flat = reps.reshape(-1)
+    flat = reps.reshape(-1, 8, 128)   # (8,128)-tile chunks: aligned DMA
 
     # queries -> scaled, padded to BQ blocks
     vq_pad = -(-vq // BQ) * BQ
@@ -188,8 +206,12 @@ def resolve_sorted_queries(ids, queries, interpret: bool = False):
     start128 = (ws // 128) * 128                          # (B, nq_b)
     rep_idx = (start128 // 128) % _NREP
     base = (jnp.arange(b, dtype=jnp.int32) * _NREP * l_rep)[:, None]
-    off = (base + rep_idx * l_rep
-           + (start128 - rep_idx * 128)).astype(jnp.int32).reshape(-1)
+    # Element offset is a multiple of _CHUNK by construction (stagger
+    # maps any 128-aligned start into one replica's 1024 grid); pass it
+    # in CHUNK-row units for the row-indexed DMA.
+    off = ((base + rep_idx * l_rep
+            + (start128 - rep_idx * 128)) // _CHUNK
+           ).astype(jnp.int32).reshape(-1)
     n_steps = jnp.maximum(
         (we + 1 - start128 + _CHUNK - 1) // _CHUNK, 1
     ).astype(jnp.int32).reshape(-1)
@@ -206,7 +228,7 @@ def resolve_sorted_queries(ids, queries, interpret: bool = False):
         scratch_shapes=[
             pltpu.VMEM((2, 128), jnp.int32),              # count
             pltpu.VMEM((2, 128), jnp.int32),              # min
-            pltpu.VMEM((_CHUNK,), jnp.int32),             # window chunk
+            pltpu.VMEM((8, 128), jnp.int32),              # window chunk
             pltpu.SemaphoreType.DMA(()),
         ],
     )
