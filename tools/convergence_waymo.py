@@ -153,27 +153,32 @@ def main():
         det, batches, n_steps, peak_lr, bn_frozen_tail=bn_frozen_tail)
 
     predict = jax.jit(lambda v, b: det.predict(v, b))
-    gt_annos, dt_annos = [], []
-    for bi, b in enumerate(batches):
-        preds = predict({'params': params, **mstate}, b)
-        fb = np.asarray(preds['final_boxes'])
-        fs = np.asarray(preds['final_scores'])
-        fl = np.asarray(preds['final_labels'])
-        fv = np.asarray(preds['final_valid'])
-        if bi == 0:
-            print(f'diag batch0: kept={fv.sum(1)}, '
-                  f'score_max={fs.max(1).round(3)}')
-        for k in range(fb.shape[0]):
-            scene_idx = bi * BATCH + k
-            gt, gm = scenes[scene_idx][1], scenes[scene_idx][2]
-            keep = fv[k] & (fl[k] == 1)                # Vehicle dts
-            gt_annos.append(to_waymo_annos(
-                gt[gm][:, :7], n_points=np.full(gm.sum(), 400)))
-            dt_annos.append(to_waymo_annos(fb[k][keep], fs[k][keep]))
 
-    result_str, ret = waymo_eval.waymo_evaluation(
-        dt_annos, gt_annos, ['Vehicle'])
-    print(result_str)
+    def eval_scenes(eval_scenes_list, eval_batches, tag):
+        gt_annos, dt_annos = [], []
+        for bi, b in enumerate(eval_batches):
+            preds = predict({'params': params, **mstate}, b)
+            fb = np.asarray(preds['final_boxes'])
+            fs = np.asarray(preds['final_scores'])
+            fl = np.asarray(preds['final_labels'])
+            fv = np.asarray(preds['final_valid'])
+            if bi == 0:
+                print(f'diag {tag} batch0: kept={fv.sum(1)}, '
+                      f'score_max={fs.max(1).round(3)}')
+            for k in range(fb.shape[0]):
+                scene_idx = bi * BATCH + k
+                gt, gm = (eval_scenes_list[scene_idx][1],
+                          eval_scenes_list[scene_idx][2])
+                keep = fv[k] & (fl[k] == 1)            # Vehicle dts
+                gt_annos.append(to_waymo_annos(
+                    gt[gm][:, :7], n_points=np.full(gm.sum(), 400)))
+                dt_annos.append(to_waymo_annos(fb[k][keep], fs[k][keep]))
+        result_str, ret = waymo_eval.waymo_evaluation(
+            dt_annos, gt_annos, ['Vehicle'])
+        print(result_str)
+        return ret
+
+    ret = eval_scenes(scenes, batches, 'train')
     model_key = Path(model_yaml).stem + '_waymo'
     out = {
         'model': f'{model_key} (full Waymo-range config, synthetic overfit)',
@@ -184,6 +189,21 @@ def main():
         'Vehicle_L2_AP': ret.get('OBJECT_TYPE_TYPE_VEHICLE_LEVEL_2/AP'),
         'wall_clock_s': round(time.time() - t0, 1),
     }
+
+    # held-out generalization (argv[5], default 0): score n_holdout
+    # UNSEEN scenes (fresh seeds) with the overfit params — mirrors
+    # tools/convergence_ap.py's '<model>_holdout' track on the Waymo
+    # protocol (VERDICT r4 item 5: add a Waymo model to the holdout set).
+    n_holdout = int(sys.argv[5]) if len(sys.argv) > 5 else 0
+    if n_holdout > 0:
+        hold_scenes = [make_scene(10_000 + s) for s in range(n_holdout)]
+        hold_batches = make_batches(hold_scenes, BATCH, MAX_POINTS, N_GT)
+        hret = eval_scenes(hold_scenes, hold_batches, 'holdout')
+        out['n_holdout_scenes'] = n_holdout
+        out['val_Vehicle_L1_AP'] = hret.get(
+            'OBJECT_TYPE_TYPE_VEHICLE_LEVEL_1/AP')
+        out['val_Vehicle_L1_APH'] = hret.get(
+            'OBJECT_TYPE_TYPE_VEHICLE_LEVEL_1/APH')
     merge_entry(model_key, out)
     print(json.dumps(out))
 
